@@ -1,0 +1,566 @@
+"""E(n) variational diffusion model (VDM) over joint [x, h] molecule states.
+
+Functional re-design of the reference EnVariationalDiffusion
+(equivariant_diffusion/en_diffusion.py:254-855): eps-parametrized DDPM with
+T discrete steps, VLB and L2 losses, and an ancestral sampler. All
+distributions over the coordinate part live on the masked zero-CoM subspace.
+
+TPU-first changes vs the reference:
+- pure functions over explicit param pytrees + RNG keys,
+- the T-step reverse loop is a single ``lax.scan`` (reference runs a Python
+  loop with one host-driven launch per step — en_diffusion.py:776-782),
+- gamma/sigma/alpha algebra in float32; the denoiser EGNN may run bf16,
+- no `.item()` asserts; invariants live in the test suite.
+
+The "h" part of a molecule is split into a categorical one-hot block
+``h_cat [B,N,num_classes]`` and an integer block ``h_int [B,N,include_charges]``
+(the reference's ``h = {'categorical', 'integer'}`` dict).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoldm_tpu.config import DiffusionConfig, DynamicsConfig
+from geoldm_tpu.diffusion import schedules as S
+from geoldm_tpu.nn.dynamics import dynamics_apply, dynamics_init
+from geoldm_tpu.ops import com
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Params / gamma plumbing
+# ---------------------------------------------------------------------------
+
+
+def vdm_init(key: Array, cfg: DiffusionConfig, dyn_cfg: DynamicsConfig) -> dict:
+    """Build the VDM parameter pytree: denoiser + (optionally) learned gamma."""
+    k_dyn, k_gamma = jax.random.split(key)
+    params = {"dynamics": dynamics_init(k_dyn, dyn_cfg)}
+    if cfg.noise_schedule == "learned":
+        assert cfg.loss_type == "vlb", "learned schedule requires vlb loss"
+        params["gamma"] = S.gamma_network_init(k_gamma)
+    else:
+        S.check_issues_norm_values(
+            S.gamma_table(cfg.noise_schedule, cfg.timesteps, cfg.noise_precision),
+            cfg.norm_values,
+        )
+    return params
+
+
+def make_gamma_fn(cfg: DiffusionConfig, params: dict) -> Callable[[Array], Array]:
+    """gamma(t) for t in [0,1], shape-preserving over [B] or [B,1] inputs."""
+    if cfg.noise_schedule == "learned":
+        gamma_params = params["gamma"]
+
+        def gamma_fn(t: Array) -> Array:
+            t2 = t.reshape(-1, 1)
+            out = S.gamma_network_apply(gamma_params, t2)
+            return out.reshape(t.shape)
+
+        return gamma_fn
+
+    table = jnp.asarray(
+        S.gamma_table(cfg.noise_schedule, cfg.timesteps, cfg.noise_precision),
+        dtype=jnp.float32,
+    )
+
+    def gamma_fn(t: Array) -> Array:
+        return S.gamma_lookup(table, t, cfg.timesteps)
+
+    return gamma_fn
+
+
+# ---------------------------------------------------------------------------
+# Normalization (reference: en_diffusion.py:344-380)
+# ---------------------------------------------------------------------------
+
+
+def normalize(cfg: DiffusionConfig, x, h_cat, h_int, node_mask):
+    x = x / cfg.norm_values[0]
+    delta_log_px = -com.subspace_dimensionality(node_mask, cfg.n_dims) * math.log(
+        cfg.norm_values[0]
+    )
+    h_cat = (h_cat.astype(jnp.float32) - cfg.norm_biases[1]) / cfg.norm_values[1]
+    h_cat = h_cat * node_mask
+    h_int = (h_int.astype(jnp.float32) - cfg.norm_biases[2]) / cfg.norm_values[2]
+    if cfg.include_charges:
+        h_int = h_int * node_mask
+    return x, h_cat, h_int, delta_log_px
+
+
+def unnormalize(cfg: DiffusionConfig, x, h_cat, h_int, node_mask):
+    x = x * cfg.norm_values[0]
+    h_cat = (h_cat * cfg.norm_values[1] + cfg.norm_biases[1]) * node_mask
+    h_int = h_int * cfg.norm_values[2] + cfg.norm_biases[2]
+    if cfg.include_charges:
+        h_int = h_int * node_mask
+    return x, h_cat, h_int
+
+
+def unnormalize_z(cfg: DiffusionConfig, z, node_mask):
+    """reference: en_diffusion.py:371-380."""
+    nd, nc = cfg.n_dims, cfg.num_classes
+    x = z[:, :, :nd]
+    h_cat = z[:, :, nd : nd + nc]
+    h_int = z[:, :, nd + nc : nd + nc + int(cfg.include_charges)]
+    x, h_cat, h_int = unnormalize(cfg, x, h_cat, h_int, node_mask)
+    return jnp.concatenate([x, h_cat, h_int], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Noise / prior pieces
+# ---------------------------------------------------------------------------
+
+
+def sample_combined_position_feature_noise(
+    key: Array, node_mask: Array, n_dims: int, feat_nf: int
+) -> Array:
+    """CoM-zero noise on the x block, standard masked normal on the h block.
+
+    reference: en_diffusion.py:749-760."""
+    b, n, _ = node_mask.shape
+    kx, kh = jax.random.split(key)
+    z_x = com.sample_center_gravity_zero_gaussian_with_mask(
+        kx, (b, n, n_dims), node_mask
+    )
+    z_h = com.sample_gaussian_with_mask(kh, (b, n, feat_nf), node_mask)
+    return jnp.concatenate([z_x, z_h], axis=2)
+
+
+def kl_prior(cfg: DiffusionConfig, gamma_fn, xh, node_mask) -> Array:
+    """KL(q(z_T | x) || N(0, I)) — negligible but diagnostic.
+
+    reference: en_diffusion.py:407-435."""
+    b = xh.shape[0]
+    ones = jnp.ones((b, 1), dtype=jnp.float32)
+    gamma_T = gamma_fn(ones)
+    alpha_T = S.alpha(gamma_T, xh.ndim)
+    mu_T = alpha_T * xh
+    mu_T_x, mu_T_h = mu_T[:, :, : cfg.n_dims], mu_T[:, :, cfg.n_dims :]
+    sigma_T_x = S.sigma(gamma_T, 1).reshape(b)
+    sigma_T_h = S.sigma(gamma_T, mu_T_h.ndim)
+
+    kl_h = com.gaussian_kl(
+        mu_T_h, sigma_T_h * jnp.ones_like(mu_T_h), jnp.zeros_like(mu_T_h),
+        jnp.ones_like(mu_T_h), node_mask,
+    )
+    subspace_d = com.subspace_dimensionality(node_mask, cfg.n_dims)
+    kl_x = com.gaussian_kl_for_dimension(
+        mu_T_x, sigma_T_x, jnp.zeros_like(mu_T_x), jnp.ones((b,)), subspace_d
+    )
+    return kl_x + kl_h
+
+
+def compute_x_pred(cfg: DiffusionConfig, net_out, zt, gamma_t) -> Array:
+    """Most-likely x given the eps prediction. reference: en_diffusion.py:437-449."""
+    sigma_t = S.sigma(gamma_t, net_out.ndim)
+    alpha_t = S.alpha(gamma_t, net_out.ndim)
+    return 1.0 / alpha_t * (zt - sigma_t * net_out)
+
+
+def compute_error(cfg: DiffusionConfig, net_out, eps, training: bool) -> Array:
+    """Squared eps error; mean-normalized under training l2.
+
+    reference: en_diffusion.py:451-459."""
+    err = com.sum_except_batch(jnp.square(eps - net_out))
+    if training and cfg.loss_type == "l2":
+        denom = (cfg.n_dims + cfg.in_node_nf) * net_out.shape[1]
+        err = err / denom
+    return err
+
+
+def log_constants_p_x_given_z0(cfg: DiffusionConfig, gamma_fn, node_mask) -> Array:
+    """Constant part of log p(x | z0) on the (N-1)*3 subspace.
+
+    reference: en_diffusion.py:461-475."""
+    b = node_mask.shape[0]
+    n_nodes = com.num_nodes(node_mask)
+    degrees_of_freedom_x = (n_nodes - 1.0) * cfg.n_dims
+    zeros = jnp.zeros((b, 1), dtype=jnp.float32)
+    gamma_0 = gamma_fn(zeros)
+    log_sigma_x = 0.5 * gamma_0.reshape(b)
+    return degrees_of_freedom_x * (-log_sigma_x - 0.5 * math.log(2 * math.pi))
+
+
+def log_pxh_given_z0_without_constants(
+    cfg: DiffusionConfig, h_cat, h_int, z_t, gamma_0, eps, net_out, node_mask,
+    training: bool, epsilon: float = 1e-10,
+) -> Array:
+    """Cross-entropy style terms for the t=0 decoding of x, one-hot h and
+    integer charges. reference: en_diffusion.py:505-566."""
+    nd = cfg.n_dims
+    inc = int(cfg.include_charges)
+    z_h_cat = z_t[:, :, nd : z_t.shape[2] - inc]
+    z_h_int = z_t[:, :, z_t.shape[2] - inc :] if inc else jnp.zeros_like(z_t[:, :, :0])
+
+    eps_x = eps[:, :, :nd]
+    net_x = net_out[:, :, :nd]
+
+    sigma_0 = S.sigma(gamma_0, z_t.ndim)
+    sigma_0_cat = sigma_0 * cfg.norm_values[1]
+    sigma_0_int = sigma_0 * cfg.norm_values[2]
+
+    # x-part: eps-error with weight exactly 1.
+    log_p_x_given_z_wc = -0.5 * compute_error(cfg, net_x, eps_x, training)
+
+    # Integer part: integrate the Gaussian over +-0.5 around the target.
+    h_integer = jnp.round(h_int * cfg.norm_values[2] + cfg.norm_biases[2])
+    est_h_int = z_h_int * cfg.norm_values[2] + cfg.norm_biases[2]
+    h_int_centered = h_integer - est_h_int
+    log_ph_integer = jnp.log(
+        com.cdf_standard_gaussian((h_int_centered + 0.5) / sigma_0_int)
+        - com.cdf_standard_gaussian((h_int_centered - 0.5) / sigma_0_int)
+        + epsilon
+    )
+    log_ph_integer = com.sum_except_batch(log_ph_integer * node_mask)
+
+    # Categorical part: integral around the one-hot peak, normalized.
+    onehot = h_cat * cfg.norm_values[1] + cfg.norm_biases[1]
+    est_h_cat = z_h_cat * cfg.norm_values[1] + cfg.norm_biases[1]
+    centered = est_h_cat - 1.0
+    log_ph_cat_prop = jnp.log(
+        com.cdf_standard_gaussian((centered + 0.5) / sigma_0_cat)
+        - com.cdf_standard_gaussian((centered - 0.5) / sigma_0_cat)
+        + epsilon
+    )
+    log_z = jax.nn.logsumexp(log_ph_cat_prop, axis=2, keepdims=True)
+    log_probabilities = log_ph_cat_prop - log_z
+    log_ph_cat = com.sum_except_batch(log_probabilities * onehot * node_mask)
+
+    return log_p_x_given_z_wc + log_ph_integer + log_ph_cat
+
+
+# ---------------------------------------------------------------------------
+# Loss (reference: en_diffusion.py:568-714)
+# ---------------------------------------------------------------------------
+
+
+class VDMLossInfo(NamedTuple):
+    t_int: Array
+    error: Array
+
+
+def compute_loss(
+    params: dict,
+    cfg: DiffusionConfig,
+    dyn_cfg: DynamicsConfig,
+    key: Array,
+    x: Array,
+    h_cat: Array,
+    h_int: Array,
+    node_mask: Array,
+    edge_mask: Array,
+    context: Optional[Array],
+    t0_always: bool,
+    training: bool,
+    compute_dtype=None,
+    latent_space: bool = False,
+) -> tuple[Array, VDMLossInfo]:
+    """Estimator of -log p(x, h) (up to normalization constants handled by
+    the caller). Inputs are already normalized.
+
+    With ``latent_space=True`` the t=0 decoding term collapses to the plain
+    eps error — the EnLatentDiffusion override of
+    log_pxh_given_z0_without_constants (reference: en_diffusion.py:1124-1134).
+    """
+
+    def log_pxh_z0(h_cat_, h_int_, z_, gamma_, eps_, net_out_):
+        if latent_space:
+            return -0.5 * compute_error(cfg, net_out_, eps_, training)
+        return log_pxh_given_z0_without_constants(
+            cfg, h_cat_, h_int_, z_, gamma_, eps_, net_out_, node_mask, training
+        )
+
+    gamma_fn = make_gamma_fn(cfg, params)
+    b, n, _ = x.shape
+    feat_nf = cfg.in_node_nf
+
+    k_t, k_eps, k_eps0 = jax.random.split(key, 3)
+
+    lowest_t = 1 if t0_always else 0
+    t_int = jax.random.randint(k_t, (b, 1), lowest_t, cfg.timesteps + 1).astype(
+        jnp.float32
+    )
+    s_int = t_int - 1
+    t_is_zero = (t_int == 0).astype(jnp.float32)
+
+    s = s_int / cfg.timesteps
+    t = t_int / cfg.timesteps
+
+    gamma_s = gamma_fn(s)
+    gamma_t = gamma_fn(t)
+
+    alpha_t = S.alpha(gamma_t, x.ndim)
+    sigma_t = S.sigma(gamma_t, x.ndim)
+
+    eps = sample_combined_position_feature_noise(k_eps, node_mask, cfg.n_dims, feat_nf)
+    xh = jnp.concatenate([x, h_cat, h_int], axis=2)
+    z_t = alpha_t * xh + sigma_t * eps
+
+    net_out = dynamics_apply(
+        params["dynamics"], dyn_cfg, t, z_t, node_mask, edge_mask, context,
+        compute_dtype,
+    )
+
+    error = compute_error(cfg, net_out, eps, training)
+
+    if training and cfg.loss_type == "l2":
+        snr_weight = jnp.ones_like(error)
+    else:
+        snr_weight = (S.snr(gamma_s - gamma_t) - 1.0).reshape(b)
+    loss_t_larger_than_zero = 0.5 * snr_weight * error
+
+    neg_log_constants = -log_constants_p_x_given_z0(cfg, gamma_fn, node_mask)
+    if training and cfg.loss_type == "l2":
+        neg_log_constants = jnp.zeros_like(neg_log_constants)
+
+    kl_prior_ = kl_prior(cfg, gamma_fn, xh, node_mask)
+
+    if t0_always:
+        # Dedicated second pass at t=0 (eval path; lower-variance estimator).
+        loss_t = loss_t_larger_than_zero
+        estimator_loss_terms = cfg.timesteps * loss_t
+
+        t_zeros = jnp.zeros_like(s)
+        gamma_0 = gamma_fn(t_zeros)
+        alpha_0 = S.alpha(gamma_0, x.ndim)
+        sigma_0 = S.sigma(gamma_0, x.ndim)
+
+        eps_0 = sample_combined_position_feature_noise(
+            k_eps0, node_mask, cfg.n_dims, feat_nf
+        )
+        z_0 = alpha_0 * xh + sigma_0 * eps_0
+        net_out0 = dynamics_apply(
+            params["dynamics"], dyn_cfg, t_zeros, z_0, node_mask, edge_mask, context,
+            compute_dtype,
+        )
+        loss_term_0 = -log_pxh_z0(h_cat, h_int, z_0, gamma_0, eps_0, net_out0)
+        loss = kl_prior_ + estimator_loss_terms + neg_log_constants + loss_term_0
+    else:
+        # Single pass; the t=0 term is selected by masking.
+        loss_term_0 = -log_pxh_z0(h_cat, h_int, z_t, gamma_t, eps, net_out)
+        t_is_not_zero = 1.0 - t_is_zero
+        loss_t = (
+            loss_term_0 * t_is_zero.reshape(b)
+            + t_is_not_zero.reshape(b) * loss_t_larger_than_zero
+        )
+        if training and cfg.loss_type == "l2":
+            estimator_loss_terms = loss_t
+        else:
+            estimator_loss_terms = (cfg.timesteps + 1) * loss_t
+        loss = kl_prior_ + estimator_loss_terms + neg_log_constants
+
+    return loss, VDMLossInfo(t_int=t_int.reshape(b), error=error)
+
+
+def vdm_nll(
+    params: dict,
+    cfg: DiffusionConfig,
+    dyn_cfg: DynamicsConfig,
+    key: Array,
+    x: Array,
+    h_cat: Array,
+    h_int: Array,
+    node_mask: Array,
+    edge_mask: Array,
+    context: Optional[Array] = None,
+    training: bool = False,
+    compute_dtype=None,
+) -> Array:
+    """-log p(x, h) per molecule [B] (the l2 surrogate when training with l2).
+
+    reference: en_diffusion.py:690-714 (forward)."""
+    x, h_cat, h_int, delta_log_px = normalize(cfg, x, h_cat, h_int, node_mask)
+    if training and cfg.loss_type == "l2":
+        delta_log_px = jnp.zeros_like(delta_log_px)
+    loss, _ = compute_loss(
+        params, cfg, dyn_cfg, key, x, h_cat, h_int, node_mask, edge_mask, context,
+        t0_always=not training, training=training, compute_dtype=compute_dtype,
+    )
+    return loss - delta_log_px
+
+
+# ---------------------------------------------------------------------------
+# Sampling (reference: en_diffusion.py:477-503, :716-838)
+# ---------------------------------------------------------------------------
+
+
+def sample_normal(key, mu, sigma, node_mask, n_dims, feat_nf, fix_noise=False):
+    """mu + sigma * eps with combined CoM-zero/standard noise.
+
+    With fix_noise the same noise realisation is broadcast over the batch
+    (reference: en_diffusion.py:499-503 — bs=1 sample broadcast)."""
+    if fix_noise:
+        mask1 = node_mask[:1]
+        eps = sample_combined_position_feature_noise(key, mask1, n_dims, feat_nf)
+    else:
+        eps = sample_combined_position_feature_noise(key, node_mask, n_dims, feat_nf)
+    return mu + sigma * eps
+
+
+def sample_p_zs_given_zt(
+    params, cfg, dyn_cfg, gamma_fn, key, s, t, zt, node_mask, edge_mask, context,
+    fix_noise=False, compute_dtype=None,
+):
+    """One ancestral step zs ~ p(z_s | z_t). reference: en_diffusion.py:716-747."""
+    gamma_s = gamma_fn(s)
+    gamma_t = gamma_fn(t)
+    sigma2_t_given_s, sigma_t_given_s, alpha_t_given_s = S.sigma_and_alpha_t_given_s(
+        gamma_t, gamma_s, zt.ndim
+    )
+    sigma_s = S.sigma(gamma_s, zt.ndim)
+    sigma_t = S.sigma(gamma_t, zt.ndim)
+
+    eps_t = dynamics_apply(
+        params["dynamics"], dyn_cfg, t, zt, node_mask, edge_mask, context,
+        compute_dtype,
+    )
+
+    mu = zt / alpha_t_given_s - (sigma2_t_given_s / alpha_t_given_s / sigma_t) * eps_t
+    sigma = sigma_t_given_s * sigma_s / sigma_t
+
+    zs = sample_normal(key, mu, sigma, node_mask, cfg.n_dims, cfg.in_node_nf, fix_noise)
+
+    # Project the coordinate part back to zero CoM to stop numeric drift.
+    zs = jnp.concatenate(
+        [
+            com.remove_mean_with_mask(zs[:, :, : cfg.n_dims], node_mask),
+            zs[:, :, cfg.n_dims :],
+        ],
+        axis=2,
+    )
+    return zs
+
+
+def sample_p_xh_given_z0(
+    params, cfg, dyn_cfg, gamma_fn, key, z0, node_mask, edge_mask, context,
+    fix_noise=False, compute_dtype=None, latent_space=False,
+):
+    """Final decode step p(x, h | z_0).
+
+    With ``latent_space=True`` the output stays in the latent representation
+    (no unnormalize / argmax) — the EnLatentDiffusion override
+    (reference: en_diffusion.py:1099-1122 vs :477-497)."""
+    b = z0.shape[0]
+    zeros = jnp.zeros((b, 1), dtype=jnp.float32)
+    gamma_0 = gamma_fn(zeros)
+    # sigma_x = sqrt(sigma_0^2 / alpha_0^2) = SNR(-0.5 gamma_0)
+    sigma_x = S.snr(-0.5 * gamma_0).reshape(b, 1, 1)
+    net_out = dynamics_apply(
+        params["dynamics"], dyn_cfg, zeros, z0, node_mask, edge_mask, context,
+        compute_dtype,
+    )
+    mu_x = compute_x_pred(cfg, net_out, z0, gamma_0)
+    xh = sample_normal(key, mu_x, sigma_x, node_mask, cfg.n_dims, cfg.in_node_nf, fix_noise)
+
+    x = xh[:, :, : cfg.n_dims]
+    if latent_space:
+        h_int = xh[:, :, cfg.n_dims :]
+        h_cat = jnp.zeros_like(xh[:, :, :0])
+        return x, h_cat, h_int
+
+    inc = int(cfg.include_charges)
+    h_int = z0[:, :, z0.shape[2] - inc :] if inc else jnp.zeros_like(z0[:, :, :0])
+    h_cat_raw = z0[:, :, cfg.n_dims : z0.shape[2] - inc]
+    x, h_cat, h_int = unnormalize(cfg, x, h_cat_raw, h_int, node_mask)
+    h_cat = (
+        jax.nn.one_hot(jnp.argmax(h_cat, axis=2), cfg.num_classes) * node_mask
+    )
+    h_int = jnp.round(h_int) * node_mask
+    return x, h_cat, h_int
+
+
+def vdm_sample(
+    params: dict,
+    cfg: DiffusionConfig,
+    dyn_cfg: DynamicsConfig,
+    key: Array,
+    node_mask: Array,
+    edge_mask: Array,
+    context: Optional[Array] = None,
+    fix_noise: bool = False,
+    compute_dtype=None,
+    latent_space: bool = False,
+    keep_frames: Optional[int] = None,
+):
+    """Full reverse-diffusion sampling as one scanned, jittable program.
+
+    Returns (x, h_cat, h_int) and, if keep_frames is set, a chain tensor
+    [keep_frames, B, N, D] of intermediate (raw latent-space) states written
+    like the reference's sample_chain (reference: en_diffusion.py:762-838).
+    """
+    gamma_fn = make_gamma_fn(cfg, params)
+    b = node_mask.shape[0]
+    k_init, k_scan, k_final = jax.random.split(key, 3)
+
+    if fix_noise:
+        z = sample_combined_position_feature_noise(
+            k_init, node_mask[:1], cfg.n_dims, cfg.in_node_nf
+        )
+        z = jnp.broadcast_to(z, (b,) + z.shape[1:]) * node_mask
+    else:
+        z = sample_combined_position_feature_noise(
+            k_init, node_mask, cfg.n_dims, cfg.in_node_nf
+        )
+
+    T = cfg.timesteps
+    want_chain = keep_frames is not None
+    n_frames = keep_frames if want_chain else 1
+
+    def step(z, inp):
+        s_idx, k = inp
+        s_arr = jnp.full((b, 1), s_idx, dtype=jnp.float32) / T
+        t_arr = jnp.full((b, 1), s_idx + 1, dtype=jnp.float32) / T
+        z = sample_p_zs_given_zt(
+            params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z, node_mask,
+            edge_mask, context, fix_noise, compute_dtype,
+        )
+        if want_chain:
+            frame = unnormalize_z(cfg, z, node_mask) if not latent_space else z
+            return z, frame
+        return z, None
+
+    s_indices = jnp.arange(T - 1, -1, -1)
+    step_keys = jax.random.split(k_scan, T)
+    z, frames = jax.lax.scan(step, z, (s_indices, step_keys))
+
+    x, h_cat, h_int = sample_p_xh_given_z0(
+        params, cfg, dyn_cfg, gamma_fn, k_final, z, node_mask, edge_mask, context,
+        fix_noise, compute_dtype, latent_space,
+    )
+
+    # Final CoM-drift guard (reference: en_diffusion.py:789-793): always
+    # re-project — branchless and exact.
+    x = com.remove_mean_with_mask(x * node_mask, node_mask)
+
+    if want_chain:
+        # The reference writes frame slot floor(s*keep/T) at every step s, so
+        # the surviving frame per slot k is the smallest s in that slot,
+        # s_k = ceil(k*T/keep). frames[i] holds the state after step
+        # s = T-1-i, so slot k reads frames[T-1-s_k] — a static gather
+        # (deterministic, unlike a duplicate-index scatter).
+        slot_s = [-(-(k * T) // n_frames) for k in range(n_frames)]
+        gather_idx = jnp.asarray([T - 1 - s for s in slot_s], dtype=jnp.int32)
+        chain = frames[gather_idx]
+        chain = chain.at[0].set(jnp.concatenate([x, h_cat, h_int], axis=2))
+        return (x, h_cat, h_int), chain
+
+    return x, h_cat, h_int
+
+
+def log_info(cfg: DiffusionConfig, params: dict) -> dict:
+    """log_SNR_max/min diagnostics (reference: en_diffusion.py:840-855)."""
+    gamma_fn = make_gamma_fn(cfg, params)
+    zeros = jnp.zeros((1, 1), dtype=jnp.float32)
+    ones = jnp.ones((1, 1), dtype=jnp.float32)
+    return {
+        "log_SNR_max": float(-gamma_fn(zeros).reshape(())),
+        "log_SNR_min": float(-gamma_fn(ones).reshape(())),
+    }
