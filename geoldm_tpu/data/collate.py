@@ -1,0 +1,63 @@
+"""Batch collation: pad variable-size molecules into static-shape arrays.
+
+Unlike the reference collate (qm9/data/collate.py:65-103), which pads to the
+max size *in the batch* (dynamic shapes — one torch graph per size), batches
+here are padded to a fixed ``pad_nodes`` so every training/sampling step
+compiles exactly once under jit. The edge mask is the node-mask outer
+product with the diagonal removed (reference: collate.py:89-97).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def build_masks(n_atoms: np.ndarray, pad_nodes: int):
+    """n_atoms [B] -> node_mask [B,N,1], edge_mask [B,N,N,1] float32."""
+    b = len(n_atoms)
+    node_mask = (
+        np.arange(pad_nodes)[None, :] < np.asarray(n_atoms)[:, None]
+    ).astype(np.float32)[..., None]
+    edge = node_mask[:, :, None, 0] * node_mask[:, None, :, 0]
+    eye = np.eye(pad_nodes, dtype=np.float32)[None]
+    edge_mask = (edge * (1.0 - eye))[..., None].astype(np.float32)
+    return node_mask, edge_mask
+
+
+def collate_molecules(
+    positions: Sequence[np.ndarray],
+    one_hot: Sequence[np.ndarray],
+    charges: Sequence[np.ndarray],
+    pad_nodes: int,
+    include_charges: bool = True,
+    center: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Pad a list of molecules to a static-size batch dict."""
+    b = len(positions)
+    num_classes = one_hot[0].shape[-1]
+    x = np.zeros((b, pad_nodes, 3), dtype=np.float32)
+    h_cat = np.zeros((b, pad_nodes, num_classes), dtype=np.float32)
+    h_int = np.zeros((b, pad_nodes, 1 if include_charges else 0), dtype=np.float32)
+    n_atoms = np.zeros((b,), dtype=np.int64)
+    for i in range(b):
+        n = positions[i].shape[0]
+        assert n <= pad_nodes, f"molecule with {n} atoms exceeds pad_nodes={pad_nodes}"
+        n_atoms[i] = n
+        pos = np.asarray(positions[i], dtype=np.float32)
+        if center:
+            pos = pos - pos.mean(axis=0, keepdims=True)
+        x[i, :n] = pos
+        h_cat[i, :n] = np.asarray(one_hot[i], dtype=np.float32)
+        if include_charges:
+            h_int[i, :n, 0] = np.asarray(charges[i], dtype=np.float32).reshape(n)
+    node_mask, edge_mask = build_masks(n_atoms, pad_nodes)
+    return {
+        "x": x,
+        "h_cat": h_cat,
+        "h_int": h_int,
+        "node_mask": node_mask,
+        "edge_mask": edge_mask,
+        "n_atoms": n_atoms,
+    }

@@ -1,0 +1,153 @@
+"""Training-stack tests: optimizer semantics, EMA, loss descent on synthetic
+data, and SPMD (DP/TP) equivalence on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from geoldm_tpu.config import TrainConfig
+from geoldm_tpu.data.datasets_config import get_dataset_info
+from geoldm_tpu.data.synthetic import synthetic_batch
+from geoldm_tpu.models import factory
+from geoldm_tpu.models.distributions import DistributionNodes
+from geoldm_tpu.parallel import sharding as shd
+from geoldm_tpu.train import optim as optim_mod
+from geoldm_tpu.train.train_step import create_train_state, make_eval_nll, make_train_step
+
+INFO = get_dataset_info("qm9")
+
+
+def tiny_cfg(**kw):
+    base = dict(nf=16, n_layers=1, diffusion_steps=10, latent_nf=1)
+    base.update(kw)
+    return factory.make_latent_diffusion_config(INFO, **base)
+
+
+def make_batch(b=4, n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    batch = synthetic_batch(INFO, b, pad_nodes=n, rng=rng)
+    nodes_dist = DistributionNodes(INFO.n_nodes)
+    batch["log_pN"] = nodes_dist.log_prob(batch["n_atoms"]).astype(np.float32)
+    del batch["n_atoms"]
+    return jax.tree.map(jnp.asarray, batch)
+
+
+def test_adaptive_clip_spike():
+    clip = optim_mod.adaptive_grad_clip(max_len=8, init_value=10.0)
+    params = {"w": jnp.zeros((3,))}
+    state = clip.init(params)
+    # History = [10] -> allowed = 15. A spike of norm 1000 must be scaled to 15.
+    spike = {"w": jnp.full((3,), 1000.0 / np.sqrt(3))}
+    upd, state = clip.update(spike, state)
+    np.testing.assert_allclose(float(optax.global_norm(upd)), 15.0, rtol=1e-5)
+    # The recorded value is the clipped norm, so the threshold stays sane.
+    assert float(state.norms[1]) == pytest.approx(15.0, rel=1e-5)
+
+
+def test_adaptive_clip_no_clip_small():
+    clip = optim_mod.adaptive_grad_clip(max_len=8, init_value=10.0)
+    params = {"w": jnp.zeros((3,))}
+    state = clip.init(params)
+    small = {"w": jnp.full((3,), 1.0)}
+    upd, _ = clip.update(small, state)
+    np.testing.assert_allclose(np.asarray(upd["w"]), np.asarray(small["w"]), rtol=1e-6)
+
+
+def test_train_steps_descend():
+    cfg = tiny_cfg()
+    tc = TrainConfig(lr=1e-3, ema_decay=0.99)
+    state, tx = create_train_state(jax.random.key(0), cfg, tc)
+    step = jax.jit(make_train_step(cfg, tc, tx))
+    batch = make_batch()
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert int(state.step) == 8
+    # EMA differs from params but tracks them.
+    d = jax.tree.map(lambda a, b: jnp.max(jnp.abs(a - b)), state.params, state.ema_params)
+    assert max(float(x) for x in jax.tree.leaves(d)) > 0
+
+
+def test_frozen_vae_params_unchanged():
+    cfg = tiny_cfg()  # trainable_ae=False
+    tc = TrainConfig(lr=1e-2, ema_decay=0.0)
+    state, tx = create_train_state(jax.random.key(0), cfg, tc)
+    step = jax.jit(make_train_step(cfg, tc, tx))
+    vae_before = jax.tree.map(np.asarray, state.params["vae"])
+    batch = make_batch()
+    state, _ = step(state, batch, jax.random.key(1))
+    dyn_before = np.asarray(state.params["dynamics"]["egnn"]["embedding"]["w"]).copy()
+    batch = make_batch(seed=1)
+    state, _ = step(state, batch, jax.random.key(2))
+    vae_after = jax.tree.map(np.asarray, state.params["vae"])
+    for a, b in zip(jax.tree.leaves(vae_before), jax.tree.leaves(vae_after)):
+        np.testing.assert_array_equal(a, b)
+    # Dynamics did change.
+    dyn_after = np.asarray(state.params["dynamics"]["egnn"]["embedding"]["w"])
+    assert np.max(np.abs(dyn_after - dyn_before)) > 0
+
+
+def test_eval_nll_runs():
+    cfg = tiny_cfg()
+    tc = TrainConfig()
+    state, _ = create_train_state(jax.random.key(0), cfg, tc)
+    eval_nll = jax.jit(make_eval_nll(cfg))
+    batch = make_batch()
+    val = eval_nll(state.params, batch, jax.random.key(5))
+    assert np.isfinite(float(val))
+
+
+# ---------------------------------------------------------------------------
+# SPMD equivalence on the virtual mesh
+# ---------------------------------------------------------------------------
+
+
+def _run_one_step(mesh, tp_hidden=None):
+    cfg = tiny_cfg(nf=16)
+    tc = TrainConfig(lr=1e-3, ema_decay=0.0, clip_grad=False)
+    state, tx = create_train_state(jax.random.key(0), cfg, tc)
+    batch = make_batch(b=8)
+    step_fn = make_train_step(cfg, tc, tx)
+
+    if mesh is None:
+        state2, metrics = jax.jit(step_fn)(state, batch, jax.random.key(7))
+        return state2, metrics
+
+    p_sh = shd.param_shardings(state.params, mesh, hidden_nf=tp_hidden)
+    state_sh = state._replace(
+        params=jax.device_put(state.params, p_sh),
+        ema_params=jax.device_put(state.ema_params, p_sh),
+    )
+    batch_sh = shd.shard_batch(batch, mesh)
+    state2, metrics = jax.jit(step_fn)(state_sh, batch_sh, jax.random.key(7))
+    return state2, metrics
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_matches_single_device():
+    ref_state, ref_metrics = _run_one_step(None)
+    mesh = shd.make_mesh(dp=8, tp=1)
+    dp_state, dp_metrics = _run_one_step(mesh)
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(dp_metrics["loss"]), rtol=1e-5
+    )
+    a = np.asarray(ref_state.params["dynamics"]["egnn"]["embedding"]["w"])
+    b = np.asarray(dp_state.params["dynamics"]["egnn"]["embedding"]["w"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_tp_matches_single_device():
+    ref_state, ref_metrics = _run_one_step(None)
+    mesh = shd.make_mesh(dp=4, tp=2)
+    tp_state, tp_metrics = _run_one_step(mesh, tp_hidden=16)
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(tp_metrics["loss"]), rtol=1e-4
+    )
+    a = np.asarray(ref_state.params["dynamics"]["egnn"]["embedding"]["w"])
+    b = np.asarray(tp_state.params["dynamics"]["egnn"]["embedding"]["w"])
+    np.testing.assert_allclose(a, b, atol=1e-4)
