@@ -1,0 +1,190 @@
+"""Molecule stability metrics and distribution diagnostics.
+
+Vectorized numpy re-design of the reference stability analysis
+(qm9/analyze.py:209-371): per-molecule bond-order matrices from the compiled
+threshold tables, valence checks against allowed bonds, and aggregate
+atom/molecule stability over a sample set. Histogram + divergence utilities
+mirror qm9/analyze.py:24-153.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from geoldm_tpu.evalsuite import bond_analyze as ba
+
+
+def check_stability(
+    positions: np.ndarray,
+    atom_types: np.ndarray,
+    dataset_info,
+    debug: bool = False,
+) -> Tuple[bool, int, int]:
+    """(molecule_stable, n_stable_atoms, n_atoms) for one molecule.
+
+    reference: qm9/analyze.py:209-245. For GEOM the pair order uses the
+    geom_predictor semantics (check_exists; same tables)."""
+    positions = np.asarray(positions, dtype=np.float64)
+    atom_types = np.asarray(atom_types, dtype=np.int64)
+    assert positions.ndim == 2 and positions.shape[1] == 3
+    decoder = tuple(dataset_info["atom_decoder"])
+
+    orders = ba.pairwise_bond_orders(positions, atom_types, decoder)
+    nr_bonds = orders.sum(axis=1)
+
+    allowed = ba.allowed_bond_table(decoder)
+    stable_atoms = 0
+    for t, nb in zip(atom_types, nr_bonds):
+        is_stable = int(nb) in allowed[int(t)]
+        if not is_stable and debug:
+            print(f"Invalid bonds for atom {decoder[int(t)]} with {int(nb)} bonds")
+        stable_atoms += int(is_stable)
+    return stable_atoms == len(atom_types), stable_atoms, len(atom_types)
+
+
+def molecules_from_padded(
+    x: np.ndarray, one_hot: np.ndarray, node_mask: np.ndarray
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Strip padding: [(positions [n,3], atom_types [n]), ...].
+
+    reference: qm9/analyze.py:337-349."""
+    out = []
+    n_atoms = np.asarray(node_mask).reshape(len(x), -1).sum(axis=1).astype(int)
+    x = np.asarray(x)
+    types = np.argmax(np.asarray(one_hot), axis=-1)
+    for i in range(len(x)):
+        n = n_atoms[i]
+        out.append((x[i, :n], types[i, :n]))
+    return out
+
+
+def analyze_stability_for_molecules(
+    molecule_list: Dict[str, np.ndarray],
+    dataset_info,
+    use_rdkit: Optional[bool] = None,
+) -> Tuple[Dict[str, float], Optional[tuple]]:
+    """Aggregate stability (+ optional RDKit validity/uniqueness/novelty).
+
+    molecule_list: dict with 'x' [M,N,3], 'one_hot' [M,N,S],
+    'node_mask' [M,N] or [M,N,1]. reference: qm9/analyze.py:323-371."""
+    processed = molecules_from_padded(
+        molecule_list["x"], molecule_list["one_hot"], molecule_list["node_mask"]
+    )
+    n_samples = len(processed)
+    molecule_stable = 0
+    nr_stable_bonds = 0
+    n_atoms = 0
+    for pos, types in processed:
+        stable, stable_bonds, total = check_stability(pos, types, dataset_info)
+        molecule_stable += int(stable)
+        nr_stable_bonds += stable_bonds
+        n_atoms += total
+
+    validity_dict = {
+        "mol_stable": molecule_stable / float(max(n_samples, 1)),
+        "atm_stable": nr_stable_bonds / float(max(n_atoms, 1)),
+    }
+
+    if use_rdkit is None:
+        from geoldm_tpu.evalsuite.rdkit_metrics import RDKIT_AVAILABLE
+
+        use_rdkit = RDKIT_AVAILABLE
+    if use_rdkit:
+        from geoldm_tpu.evalsuite.rdkit_metrics import BasicMolecularMetrics
+
+        metrics = BasicMolecularMetrics(dataset_info)
+        return validity_dict, metrics.evaluate(processed)
+    return validity_dict, None
+
+
+def analyze_node_distribution(mol_list) -> Tuple[Dict[int, int], Dict[int, int]]:
+    """Histograms of molecule sizes and atom types over a processed list.
+
+    reference: qm9/analyze.py:374-387."""
+    hist_nodes = DiscreteHistogram("n_nodes")
+    hist_types = DiscreteHistogram("atom_types")
+    for positions, atom_types in mol_list:
+        hist_nodes.add([positions.shape[0]])
+        hist_types.add(list(np.asarray(atom_types).reshape(-1)))
+    return hist_nodes.bins, hist_types.bins
+
+
+# ---------------------------------------------------------------------------
+# Histograms and divergences (reference: qm9/analyze.py:24-153)
+# ---------------------------------------------------------------------------
+
+
+class DiscreteHistogram:
+    def __init__(self, name: str = "histogram"):
+        self.name = name
+        self.bins: Dict[int, int] = {}
+
+    def add(self, elements) -> None:
+        vals, counts = np.unique(np.asarray(list(elements)), return_counts=True)
+        for v, c in zip(vals, counts):
+            self.bins[int(v)] = self.bins.get(int(v), 0) + int(c)
+
+    def normalize(self) -> None:
+        total = float(sum(self.bins.values()))
+        self.bins = {k: v / total for k, v in self.bins.items()}
+
+
+class ContinuousHistogram:
+    def __init__(self, num_bins: int = 100, hist_range=(0.0, 13.0), name: str = "histogram", ignore_zeros: bool = False):
+        self.name = name
+        self.bins = np.zeros(num_bins, dtype=np.int64)
+        self.range = hist_range
+        self.ignore_zeros = ignore_zeros
+
+    def add(self, elements) -> None:
+        e = np.asarray(elements, dtype=np.float64).reshape(-1)
+        if self.ignore_zeros:
+            e = e[e > 1e-8]
+        idx = (e / self.range[1] * len(self.bins)).astype(np.int64)
+        idx = np.minimum(idx, len(self.bins) - 1)
+        self.bins += np.bincount(idx, minlength=len(self.bins))
+
+
+def normalize_histogram(hist) -> np.ndarray:
+    hist = np.asarray(hist, dtype=np.float64)
+    return hist / hist.sum()
+
+
+def kl_divergence(p1: np.ndarray, p2: np.ndarray) -> float:
+    return float(np.sum(p1 * np.log(p1 / p2)))
+
+
+def kl_divergence_sym(h1, h2) -> float:
+    p1 = normalize_histogram(h1) + 1e-10
+    p2 = normalize_histogram(h2) + 1e-10
+    return (kl_divergence(p1, p2) + kl_divergence(p2, p1)) / 2.0
+
+
+def js_divergence(h1, h2) -> float:
+    p1 = normalize_histogram(h1) + 1e-10
+    p2 = normalize_histogram(h2) + 1e-10
+    m = (p1 + p2) / 2
+    return (kl_divergence(p1, m) + kl_divergence(p2, m)) / 2
+
+
+def earth_mover_distance(h1, h2) -> float:
+    from scipy import stats as sp_stats
+
+    p1 = normalize_histogram(h1)
+    p2 = normalize_histogram(h2)
+    return float(sp_stats.wasserstein_distance(p1, p2))
+
+
+def pairwise_distance_histogram(
+    x: np.ndarray, node_mask: np.ndarray, num_bins: int = 100, hist_range=(0.0, 13.0)
+) -> np.ndarray:
+    """Histogram of all intra-molecule pairwise distances over a batch
+    (the dataset self-check of main_analyze_qm9 — qm9/analyze.py:156-205)."""
+    hist = ContinuousHistogram(num_bins, hist_range, ignore_zeros=True)
+    x = np.asarray(x) * np.asarray(node_mask).reshape(x.shape[0], x.shape[1], 1)
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    dist = np.sqrt((diff * diff).sum(-1))
+    hist.add(dist.reshape(-1))
+    return hist.bins
