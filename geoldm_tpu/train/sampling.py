@@ -1,0 +1,185 @@
+"""Sampling orchestration: build masks/context on host, run the jitted
+scanned sampler, post-process.
+
+TPU-native equivalent of qm9/sampling.py: masks are vectorized numpy (the
+reference builds node masks in a Python loop — qm9/sampling.py:118-120),
+the sampler is jit-cached per (batch, pad) shape, and the chain sampler
+retries until a stable molecule is found (reference: qm9/sampling.py:54-107).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoldm_tpu.config import ModelConfig
+from geoldm_tpu.data.collate import build_masks
+from geoldm_tpu.diffusion import latent as ldm_mod
+from geoldm_tpu.diffusion import vdm as vdm_mod
+from geoldm_tpu.evalsuite.analyze import check_stability
+from geoldm_tpu.models import factory
+
+
+def rotate_chain(z: np.ndarray, n_steps: int = 30) -> np.ndarray:
+    """Append n_steps rotated copies of a single frame's coordinates
+    (visualization; reference: qm9/sampling.py:9-47)."""
+    assert z.shape[0] == 1
+    theta = 0.6 * np.pi / n_steps
+    c, s = np.cos(theta), np.sin(theta)
+    qz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    qx = np.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+    qy = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+    q = qz @ qx @ qy
+    z_h = z[:, :, 3:]
+    frames = [z]
+    for _ in range(n_steps):
+        x = frames[-1][:, :, :3]
+        frames.append(np.concatenate([x @ q.T, z_h], axis=2))
+    return np.concatenate(frames, axis=0)
+
+
+@lru_cache(maxsize=8)
+def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str]):
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
+    fn = factory.model_sample_fn(model_cfg, compute_dtype=compute_dtype)
+    return jax.jit(fn, static_argnames=("fix_noise",))
+
+
+def sample(
+    model_cfg: ModelConfig,
+    params,
+    key,
+    dataset_info,
+    nodesxsample: np.ndarray,
+    prop_dist=None,
+    context: Optional[np.ndarray] = None,
+    fix_noise: bool = False,
+    pad_nodes: Optional[int] = None,
+    compute_dtype: Optional[str] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Generate molecules with the requested atom counts.
+
+    Returns (one_hot, charges, x, node_mask) as numpy arrays.
+    reference: qm9/sampling.py:110-154."""
+    max_n_nodes = pad_nodes or dataset_info["max_n_nodes"]
+    nodesxsample = np.asarray(nodesxsample)
+    assert int(nodesxsample.max()) <= max_n_nodes
+    node_mask_np, edge_mask_np = build_masks(nodesxsample, max_n_nodes)
+
+    context_dev = None
+    if context is not None or prop_dist is not None:
+        if context is None:
+            context = prop_dist.sample_batch(nodesxsample, rng)
+        context = np.asarray(context, dtype=np.float32)
+        if context.ndim == 2:  # [B, P] global property rows -> per node
+            context = np.broadcast_to(
+                context[:, None, :], (len(nodesxsample), max_n_nodes, context.shape[-1])
+            )
+        context_dev = jnp.asarray(context * node_mask_np)
+
+    sampler = _jitted_sampler(model_cfg, compute_dtype)
+    x, h_cat, h_int = sampler(
+        params, key, jnp.asarray(node_mask_np), jnp.asarray(edge_mask_np),
+        context_dev, fix_noise=fix_noise,
+    )
+    return (
+        np.asarray(h_cat),
+        np.asarray(h_int),
+        np.asarray(x),
+        node_mask_np,
+    )
+
+
+def sample_chain(
+    model_cfg: ModelConfig,
+    params,
+    key,
+    dataset_info,
+    n_tries: int = 1,
+    prop_dist=None,
+    keep_frames: int = 100,
+    compute_dtype: Optional[str] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Sample a visualization chain, retrying until the final molecule is
+    stable. Returns (one_hot [F,N,S], charges [F,N,1], x [F,N,3]).
+    reference: qm9/sampling.py:54-107."""
+    name = dataset_info["name"]
+    n_nodes = 19 if "qm9" in name else 44
+    num_classes = len(dataset_info["atom_decoder"])
+
+    node_mask_np, edge_mask_np = build_masks(np.array([n_nodes]), n_nodes)
+    node_mask = jnp.asarray(node_mask_np)
+    edge_mask = jnp.asarray(edge_mask_np)
+
+    context = None
+    if prop_dist is not None:
+        ctx = prop_dist.sample(n_nodes, rng)  # [P]
+        context = jnp.asarray(
+            np.broadcast_to(ctx[None, None, :], (1, n_nodes, len(ctx))).copy()
+        )
+
+    compute_dtype_ = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+
+    @jax.jit
+    def chain_fn(params, key):
+        if model_cfg.kind == "latent_diffusion":
+            return ldm_mod.ldm_sample_chain(
+                params, model_cfg.diffusion, model_cfg.dynamics, model_cfg.vae,
+                key, node_mask, edge_mask, context, keep_frames, compute_dtype_,
+            )
+        (x, h_cat, h_int), chain = vdm_mod.vdm_sample(
+            params, model_cfg.diffusion, model_cfg.dynamics, key, node_mask,
+            edge_mask, context, compute_dtype=compute_dtype_,
+            keep_frames=keep_frames,
+        )
+        return chain
+
+    for i in range(n_tries):
+        key, sub = jax.random.split(key)
+        chain = np.asarray(chain_fn(params, sub))  # [F, 1, N, 3+S(+1)]
+        chain = chain[::-1, 0]  # reverse time: noise -> sample; drop batch
+        # Repeat the final frame for a visible hold (reference :83).
+        chain = np.concatenate([chain, np.repeat(chain[-1:], 10, axis=0)], axis=0)
+        final = chain[-1]
+        atom_types = np.argmax(final[:, 3 : 3 + num_classes], axis=1)
+        stable = check_stability(final[:, :3], atom_types, dataset_info)[0]
+        if stable or i == n_tries - 1:
+            break
+
+    x = chain[:, :, :3]
+    one_hot_idx = np.argmax(chain[:, :, 3 : 3 + num_classes], axis=2)
+    one_hot = np.eye(num_classes, dtype=np.float32)[one_hot_idx]
+    charges = np.round(chain[:, :, -1:])
+    return one_hot, charges, x
+
+
+def sample_sweep_conditional(
+    model_cfg: ModelConfig,
+    params,
+    key,
+    dataset_info,
+    prop_dist,
+    n_nodes: int = 19,
+    n_frames: int = 100,
+    compute_dtype: Optional[str] = None,
+):
+    """Sweep each conditioning property over its observed range with fixed
+    noise (reference: qm9/sampling.py:157-171)."""
+    nodesxsample = np.full((n_frames,), n_nodes)
+    rows = []
+    for key_name in prop_dist.distributions:
+        lo, hi = prop_dist.distributions[key_name][n_nodes]["params"]
+        mean = prop_dist.normalizer[key_name]["mean"]
+        mad = prop_dist.normalizer[key_name]["mad"]
+        rows.append(np.linspace((lo - mean) / mad, (hi - mean) / mad, n_frames)[:, None])
+    context = np.concatenate(rows, axis=1).astype(np.float32)
+    return sample(
+        model_cfg, params, key, dataset_info, nodesxsample,
+        context=context, fix_noise=True, compute_dtype=compute_dtype,
+    )
