@@ -1,0 +1,281 @@
+"""Shared CLI plumbing: argparse surface -> typed configs -> training run.
+
+Mirrors the reference flag surface (main_qm9.py:23-133 / main_geom_drugs.py:
+25-131) so reference users can bring their commands across, but everything
+lands in the frozen dataclass config tree (persisted as JSON with
+checkpoints) instead of pickled argparse namespaces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> None:
+    d = {
+        "nf": 256 if qm9_defaults else 256,
+        "n_layers": 9 if qm9_defaults else 4,
+        "lr": 1e-4 if qm9_defaults else 5e-5,
+        "batch_size": 64 if qm9_defaults else 32,
+        "latent_nf": 1 if qm9_defaults else 2,
+        "normalization_factor": 1.0,
+    }
+    p.add_argument("--exp_name", type=str, default="geoldm_tpu_run")
+    p.add_argument("--model", type=str, default="egnn_dynamics",
+                   choices=["egnn_dynamics", "gnn_dynamics"])
+    p.add_argument("--probabilistic_model", type=str, default="diffusion")
+    p.add_argument("--diffusion_steps", type=int, default=1000)
+    p.add_argument("--diffusion_noise_schedule", type=str, default="polynomial_2")
+    p.add_argument("--diffusion_noise_precision", type=float, default=1e-5)
+    p.add_argument("--diffusion_loss_type", type=str, default="l2", choices=["vlb", "l2"])
+    p.add_argument("--n_epochs", type=int, default=3000)
+    p.add_argument("--batch_size", type=int, default=d["batch_size"])
+    p.add_argument("--lr", type=float, default=d["lr"])
+    p.add_argument("--break_train_epoch", type=eval, default=False)
+    p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel devices")
+    p.add_argument("--condition_time", type=eval, default=True)
+    p.add_argument("--clip_grad", type=eval, default=True)
+    p.add_argument("--trace", type=str, default=None,
+                   help="jax profiler trace dir (enables per-epoch traces)")
+    p.add_argument("--n_layers", type=int, default=d["n_layers"])
+    p.add_argument("--inv_sublayers", type=int, default=1)
+    p.add_argument("--nf", type=int, default=d["nf"])
+    p.add_argument("--tanh", type=eval, default=True)
+    p.add_argument("--attention", type=eval, default=True)
+    p.add_argument("--norm_constant", type=float, default=1.0)
+    p.add_argument("--sin_embedding", type=eval, default=False)
+    p.add_argument("--ode_regularization", type=float, default=1e-3)
+    p.add_argument("--trainable_ae", action="store_true")
+    p.add_argument("--latent_nf", type=int, default=d["latent_nf"])
+    p.add_argument("--kl_weight", type=float, default=0.01)
+    p.add_argument("--ae_path", type=str, default=None,
+                   help="checkpoint dir of a pre-trained first-stage VAE")
+    p.add_argument("--train_diffusion", action="store_true",
+                   help="train the latent diffusion (else: train the VAE)")
+    p.add_argument("--dequantization", type=str, default="argmax_variational")
+    p.add_argument("--n_report_steps", type=int, default=50)
+    p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--online", type=eval, default=True)
+    p.add_argument("--wandb_usr", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test_epochs", type=int, default=10)
+    p.add_argument("--save_model", type=eval, default=True)
+    p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--augment_noise", type=float, default=0.0)
+    p.add_argument("--n_stability_samples", type=int, default=500)
+    p.add_argument("--normalize_factors", type=eval, default=[1, 4, 10])
+    p.add_argument("--include_charges", type=eval, default=True)
+    p.add_argument("--visualize_every_batch", type=int, default=int(1e8))
+    p.add_argument("--normalization_factor", type=float, default=d["normalization_factor"])
+    p.add_argument("--aggregation_method", type=str, default="sum")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--data_augmentation", type=eval, default=False)
+    p.add_argument("--conditioning", nargs="+", default=[],
+                   help="properties to condition on: alpha gap homo lumo mu Cv")
+    p.add_argument("--outdir", type=str, default="outputs")
+
+
+def build_model_config(args, dataset_info):
+    from geoldm_tpu.models import factory
+
+    common = dict(
+        include_charges=args.include_charges,
+        context_node_nf=len(args.conditioning),
+        nf=args.nf,
+        n_layers=args.n_layers,
+        attention=args.attention,
+        tanh=args.tanh,
+        norm_constant=args.norm_constant,
+        inv_sublayers=args.inv_sublayers,
+        sin_embedding=args.sin_embedding,
+        normalization_factor=args.normalization_factor,
+        aggregation_method=args.aggregation_method,
+    )
+    diff = dict(
+        diffusion_steps=args.diffusion_steps,
+        noise_schedule=args.diffusion_noise_schedule,
+        noise_precision=args.diffusion_noise_precision,
+        loss_type=args.diffusion_loss_type,
+        normalize_factors=tuple(float(v) for v in args.normalize_factors),
+        model=args.model,
+        condition_time=args.condition_time,
+    )
+    if args.train_diffusion:
+        return factory.make_latent_diffusion_config(
+            dataset_info, latent_nf=args.latent_nf, kl_weight=args.kl_weight,
+            trainable_ae=args.trainable_ae, **common, **diff,
+        )
+    return factory.make_vae_config(
+        dataset_info, latent_nf=args.latent_nf, kl_weight=args.kl_weight, **common
+    )
+
+
+def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None:
+    """Shared train loop driver for QM9 and GEOM entry points.
+
+    ``loaders`` overrides the default QM9Loader construction (the GEOM entry
+    point passes size-bucketed GeomLoaders and splits=None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoldm_tpu.config import TrainConfig
+    from geoldm_tpu.data.qm9 import QM9Loader
+    from geoldm_tpu.models.distributions import DistributionNodes, DistributionProperty
+    from geoldm_tpu.parallel import sharding as shd
+    from geoldm_tpu.train import conditioning as cond
+    from geoldm_tpu.train import trainer as trainer_mod
+    from geoldm_tpu.train.train_step import (
+        create_train_state,
+        make_eval_nll,
+        make_train_step,
+    )
+    from geoldm_tpu.utils import checkpoint as ckpt
+    from geoldm_tpu.utils.logging_utils import MetricLogger
+
+    model_cfg = build_model_config(args, dataset_info)
+    train_cfg = TrainConfig(
+        lr=args.lr,
+        n_epochs=args.n_epochs,
+        ema_decay=args.ema_decay,
+        clip_grad=args.clip_grad,
+        test_epochs=args.test_epochs,
+        n_stability_samples=args.n_stability_samples,
+        augment_noise=args.augment_noise,
+        data_augmentation=args.data_augmentation,
+        break_train_epoch=args.break_train_epoch,
+        seed=args.seed,
+        compute_dtype=args.compute_dtype,
+        dp=args.dp,
+        tp=args.tp,
+    )
+    compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+
+    pad_nodes = dataset_info.max_n_nodes
+    if loaders is None:
+        loaders = {
+            split: QM9Loader(
+                data,
+                batch_size=args.batch_size,
+                pad_nodes=pad_nodes,
+                shuffle=(split == "train"),
+                include_charges=args.include_charges,
+                properties=tuple(args.conditioning),
+                seed=args.seed,
+            )
+            for split, data in splits.items()
+        }
+
+    nodes_dist = DistributionNodes(dataset_info.n_nodes)
+    prop_dist = None
+    property_norms = None
+    if args.conditioning:
+        assert splits is not None, "conditioning requires property arrays"
+        property_norms = cond.compute_mean_mad(
+            splits, args.conditioning, args.dataset
+        )
+        prop_dist = DistributionProperty(
+            splits["train"]["num_atoms"],
+            {k: splits["train"][k] for k in args.conditioning},
+        )
+        prop_dist.set_normalizer(property_norms)
+
+    key = jax.random.key(args.seed)
+    key, init_key = jax.random.split(key)
+    state, tx = create_train_state(init_key, model_cfg, train_cfg)
+
+    # Load a pre-trained first-stage VAE (reference: qm9/models.py:103-128).
+    if args.ae_path and model_cfg.kind == "latent_diffusion":
+        vae_cfg_loaded = ckpt.load_config(args.ae_path)
+        vae_state = ckpt.load_checkpoint(
+            args.ae_path,
+            template={"vae": state.params["vae"]},
+            name="best",
+        )
+        state = state._replace(
+            params={**state.params, "vae": vae_state["vae"]},
+            ema_params={**state.ema_params, "vae": vae_state["vae"]},
+        )
+        del vae_cfg_loaded
+
+    outdir = os.path.join(args.outdir, args.exp_name)
+    if args.resume:
+        state = ckpt.load_checkpoint(args.resume, template=state, name="latest")
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    mesh = shd.make_mesh(dp=args.dp, tp=args.tp) if (args.dp != 1 or args.tp > 1) else None
+    if mesh is not None and mesh.size > 1:
+        hidden = args.nf if args.tp > 1 else None
+        p_sh = shd.param_shardings(state.params, mesh, hidden_nf=hidden)
+        state = state._replace(
+            params=jax.device_put(state.params, p_sh),
+            ema_params=jax.device_put(state.ema_params, p_sh),
+        )
+
+    train_step = jax.jit(make_train_step(model_cfg, train_cfg, tx, compute_dtype))
+    eval_nll = jax.jit(make_eval_nll(model_cfg, compute_dtype))
+
+    logger = MetricLogger(
+        outdir=outdir, use_wandb=not args.no_wandb, exp_name=args.exp_name,
+        online=args.online,
+    )
+
+    best_nll_val = float("inf")
+    rng = np.random.default_rng(args.seed)
+    for epoch in range(args.start_epoch, args.n_epochs):
+        if args.trace:
+            jax.profiler.start_trace(args.trace)
+        key, epoch_key = jax.random.split(key)
+        state, mean_loss = trainer_mod.train_epoch(
+            state, train_step, loaders["train"], nodes_dist, epoch_key, epoch,
+            conditioning=args.conditioning, property_norms=property_norms,
+            augment_noise=args.augment_noise,
+            data_augmentation=args.data_augmentation,
+            break_train_epoch=args.break_train_epoch,
+            logger=logger, log_every=args.n_report_steps, rng=rng,
+        )
+        if args.trace:
+            jax.profiler.stop_trace()
+        logger.log({"train_loss_epoch": mean_loss}, step=epoch)
+
+        if epoch % args.test_epochs == 0:
+            eval_params = state.ema_params if args.ema_decay > 0 else state.params
+            if model_cfg.kind != "vae":
+                key, a_key = jax.random.split(key)
+                validity, rdkit_tuple, _ = trainer_mod.analyze_and_save(
+                    model_cfg, eval_params, a_key, dataset_info, nodes_dist,
+                    n_samples=args.n_stability_samples, prop_dist=prop_dist,
+                    pad_nodes=pad_nodes, compute_dtype=args.compute_dtype, rng=rng,
+                )
+                print(f"epoch {epoch} stability: {validity}")
+                logger.log(validity, step=epoch)
+            key, v_key = jax.random.split(key)
+            nll_val = trainer_mod.evaluate_nll(
+                eval_params, eval_nll, loaders["valid"], nodes_dist, v_key,
+                conditioning=args.conditioning, property_norms=property_norms,
+                partition="valid",
+            )
+            logger.log({"nll_val": nll_val}, step=epoch)
+            if args.save_model:
+                ckpt.save_checkpoint(outdir, state, model_cfg, name="latest")
+            if nll_val < best_nll_val and args.save_model:
+                best_nll_val = nll_val
+                ckpt.save_checkpoint(outdir, {"params": state.params,
+                                              "ema_params": state.ema_params},
+                                     model_cfg, name="best")
+                key, t_key = jax.random.split(key)
+                nll_test = trainer_mod.evaluate_nll(
+                    eval_params, eval_nll, loaders["test"], nodes_dist, t_key,
+                    conditioning=args.conditioning, property_norms=property_norms,
+                    partition="test",
+                )
+                logger.log({"nll_test": nll_test, "best_nll_val": best_nll_val}, step=epoch)
+    logger.close()

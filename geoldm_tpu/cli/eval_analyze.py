@@ -1,0 +1,121 @@
+"""Evaluate sample quality: stability / validity / uniqueness / novelty + NLL.
+
+TPU-native equivalent of the reference eval_analyze.py: loads a checkpoint
+(config JSON + EMA weights), generates n_samples molecules in batches with
+wall-clock throughput reporting, computes stability and (if rdkit is
+installed) validity/uniqueness/novelty, then evaluates val/test NLL (the
+test pass repeated 5x, reference: eval_analyze.py:172-188), and writes
+eval_log.txt.
+
+  python -m geoldm_tpu.cli.eval_analyze --model_path outputs/qm9_ldm \
+      --n_samples 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="geoldm-tpu sample-quality eval")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--n_samples", type=int, default=10_000)
+    p.add_argument("--batch_size_gen", type=int, default=100)
+    p.add_argument("--dataset", type=str, default="qm9")
+    p.add_argument("--datadir", type=str, default="data")
+    p.add_argument("--remove_h", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--use_ema", type=eval, default=True)
+    p.add_argument("--skip_nll", action="store_true")
+    p.add_argument("--n_test_passes", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import jax
+    import numpy as np
+
+    from geoldm_tpu.data.datasets_config import get_dataset_info
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.models.distributions import DistributionNodes
+    from geoldm_tpu.train import trainer as trainer_mod
+    from geoldm_tpu.train.train_step import make_eval_nll
+    from geoldm_tpu.utils import checkpoint as ckpt
+
+    model_cfg = ckpt.load_config(args.model_path)
+    dataset_info = get_dataset_info(args.dataset, args.remove_h)
+    nodes_dist = DistributionNodes(dataset_info.n_nodes)
+
+    template = {
+        "params": factory.init_params(jax.random.key(0), model_cfg),
+    }
+    template["ema_params"] = template["params"]
+    state = ckpt.load_checkpoint(args.model_path, template=template, name="best")
+    params = state["ema_params"] if args.use_ema else state["params"]
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.key(args.seed)
+
+    t0 = time.time()
+    validity, rdkit_tuple, molecules = trainer_mod.analyze_and_save(
+        model_cfg, params, key, dataset_info, nodes_dist,
+        n_samples=args.n_samples, batch_size=args.batch_size_gen,
+        compute_dtype=args.compute_dtype if args.compute_dtype != "float32" else None,
+        rng=rng,
+    )
+    elapsed = time.time() - t0
+    n_done = len(molecules["x"])
+    print(f"generated {n_done} molecules in {elapsed:.1f}s "
+          f"({elapsed / max(n_done, 1):.3f} secs/sample, {n_done / elapsed:.2f} mol/s)")
+    print(f"stability: {validity}")
+    if rdkit_tuple is not None:
+        (vals, unique) = rdkit_tuple
+        print(f"validity {vals[0]:.4f} uniqueness {vals[1]:.4f} novelty {vals[2]:.4f}")
+
+    nll_val = nll_test = None
+    if not args.skip_nll:
+        from geoldm_tpu.data.qm9 import QM9Loader, load_qm9
+
+        splits, _ = load_qm9(args.datadir, dataset=args.dataset, remove_h=args.remove_h)
+        loaders = {
+            s: QM9Loader(d, batch_size=args.batch_size_gen,
+                         pad_nodes=dataset_info.max_n_nodes, shuffle=False)
+            for s, d in splits.items()
+        }
+        eval_nll = jax.jit(make_eval_nll(model_cfg))
+        key, vk = jax.random.split(key)
+        nll_val = trainer_mod.evaluate_nll(
+            params, eval_nll, loaders["valid"], nodes_dist, vk, partition="valid"
+        )
+        tests = []
+        for i in range(args.n_test_passes):
+            key, tk = jax.random.split(key)
+            tests.append(
+                trainer_mod.evaluate_nll(
+                    params, eval_nll, loaders["test"], nodes_dist, tk,
+                    partition=f"test[{i}]",
+                )
+            )
+        nll_test = float(np.mean(tests))
+        print(f"final test NLL: {nll_test:.4f} (+/- {np.std(tests):.4f})")
+
+    with open(os.path.join(args.model_path, "eval_log.txt"), "w") as f:
+        f.write(f"n_samples {n_done}\n")
+        f.write(f"secs/sample {elapsed / max(n_done, 1):.4f}\n")
+        f.write(f"mol_stable {validity['mol_stable']}\n")
+        f.write(f"atm_stable {validity['atm_stable']}\n")
+        if rdkit_tuple is not None:
+            f.write(
+                f"validity {rdkit_tuple[0][0]} uniqueness {rdkit_tuple[0][1]} "
+                f"novelty {rdkit_tuple[0][2]}\n"
+            )
+        if nll_val is not None:
+            f.write(f"nll_val {nll_val}\nnll_test {nll_test}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Conditional-generation evaluation: classifier MAE on generated molecules.
+
+TPU-native equivalent of the reference eval_conditional_qm9.py:
+- quantitative: wrap the conditional generator as a data source (sample
+  molecules + de-normalized property labels — the reference's
+  DiffusionDataloader, eval_conditional_qm9.py:60-118) and score a
+  pre-trained property classifier on it; baselines 'qm9' (classifier on
+  real data) and 'naive' (shuffled labels) included,
+- qualitative: a property-sweep chain saved as xyz + gif.
+
+  python -m geoldm_tpu.cli.eval_conditional_qm9 \
+      --generators_path outputs/cond_alpha --classifiers_path outputs/cls_alpha \
+      --property alpha --iterations 100 --batch_size 100 --task edm
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="geoldm-tpu conditional eval")
+    p.add_argument("--generators_path", type=str, required=False)
+    p.add_argument("--classifiers_path", type=str, required=False)
+    p.add_argument("--property", type=str, default="alpha",
+                   choices=["alpha", "gap", "homo", "lumo", "mu", "Cv"])
+    p.add_argument("--iterations", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--task", type=str, default="edm",
+                   choices=["edm", "qm9", "naive", "qualitative"])
+    p.add_argument("--datadir", type=str, default="data")
+    p.add_argument("--classifier_nf", type=int, default=128)
+    p.add_argument("--classifier_layers", type=int, default=7)
+    p.add_argument("--debug_break", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _load_classifier(path, nf, n_layers):
+    import jax
+
+    from geoldm_tpu.models import classifier as clf
+    from geoldm_tpu.utils import checkpoint as ckpt
+
+    template = clf.classifier_init(jax.random.key(0), 5, nf, n_layers, True, False)
+    return ckpt.load_checkpoint(path, template=template, name="best")
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geoldm_tpu.data.datasets_config import get_dataset_info
+    from geoldm_tpu.data.qm9 import QM9Loader, load_qm9
+    from geoldm_tpu.models import classifier as clf
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.models.distributions import DistributionNodes, DistributionProperty
+    from geoldm_tpu.train import sampling as sampling_mod
+    from geoldm_tpu.train.conditioning import compute_mean_mad
+    from geoldm_tpu.utils import checkpoint as ckpt
+
+    info = get_dataset_info("qm9")
+    prop = args.property
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.key(args.seed)
+
+    # Normalizers come from the second-half protocol (valid split).
+    splits, _ = load_qm9(args.datadir, dataset="qm9_second_half")
+    norms = compute_mean_mad(splits, [prop], "qm9_second_half")
+    mean, mad = norms[prop]["mean"], norms[prop]["mad"]
+
+    classifier_params = _load_classifier(
+        args.classifiers_path, args.classifier_nf, args.classifier_layers
+    )
+
+    @jax.jit
+    def classify(h0, x, node_mask, edge_mask):
+        return clf.classifier_apply(classifier_params, h0, x, node_mask, edge_mask)
+
+    losses = []
+
+    if args.task == "edm":
+        model_cfg = ckpt.load_config(args.generators_path)
+        template = {"params": factory.init_params(jax.random.key(0), model_cfg)}
+        template["ema_params"] = template["params"]
+        state = ckpt.load_checkpoint(args.generators_path, template=template, name="best")
+        params = state["ema_params"]
+
+        nodes_dist = DistributionNodes(info.n_nodes)
+        prop_dist = DistributionProperty(
+            splits["train"]["num_atoms"], {prop: splits["train"][prop]}
+        )
+        prop_dist.set_normalizer(norms)
+
+        from geoldm_tpu.data.collate import build_masks
+
+        for it in range(args.iterations):
+            nodesxsample = nodes_dist.sample(args.batch_size, rng)
+            ctx_norm = prop_dist.sample_batch(nodesxsample, rng)  # normalized
+            key, sub = jax.random.split(key)
+            one_hot, charges, x, node_mask = sampling_mod.sample(
+                model_cfg, params, sub, info, nodesxsample, context=ctx_norm,
+                rng=rng,
+            )
+            _, edge_mask = build_masks(node_mask[..., 0].sum(1).astype(int),
+                                       node_mask.shape[1])
+            label = ctx_norm[:, 0] * mad + mean  # de-normalized target
+            pred = classify(
+                jnp.asarray(one_hot), jnp.asarray(x), jnp.asarray(node_mask),
+                jnp.asarray(edge_mask),
+            )
+            mae = float(jnp.mean(jnp.abs(mad * pred + mean - jnp.asarray(label))))
+            losses.append(mae)
+            print(f"iter {it}: MAE {mae:.4f} (running {np.mean(losses):.4f})")
+            if args.debug_break:
+                break
+    elif args.task in ("qm9", "naive"):
+        loader = QM9Loader(
+            splits["train"], args.batch_size, info.max_n_nodes, shuffle=True,
+            properties=(prop,), seed=args.seed,
+        )
+        for it, batch in enumerate(loader):
+            if it >= args.iterations:
+                break
+            label = batch[prop]
+            if args.task == "naive":
+                label = rng.permutation(label)
+            pred = classify(
+                jnp.asarray(batch["h_cat"]), jnp.asarray(batch["x"]),
+                jnp.asarray(batch["node_mask"]), jnp.asarray(batch["edge_mask"]),
+            )
+            mae = float(jnp.mean(jnp.abs(mad * pred + mean - jnp.asarray(label))))
+            losses.append(mae)
+            if args.debug_break:
+                break
+    elif args.task == "qualitative":
+        from geoldm_tpu.evalsuite import visualizer as viz
+
+        model_cfg = ckpt.load_config(args.generators_path)
+        template = {"params": factory.init_params(jax.random.key(0), model_cfg)}
+        template["ema_params"] = template["params"]
+        state = ckpt.load_checkpoint(args.generators_path, template=template, name="best")
+        prop_dist = DistributionProperty(
+            splits["train"]["num_atoms"], {prop: splits["train"][prop]}
+        )
+        prop_dist.set_normalizer(norms)
+        one_hot, charges, x, node_mask = sampling_mod.sample_sweep_conditional(
+            model_cfg, state["ema_params"], key, info, prop_dist
+        )
+        sweep_dir = f"{args.generators_path}/sweep_{prop}"
+        viz.save_chain(sweep_dir, one_hot, charges, x, info)
+        gif = viz.visualize_chain(sweep_dir, info)
+        print(f"sweep gif: {gif}")
+        return
+
+    print(f"{args.task} MAE over {len(losses)} iterations: {np.mean(losses):.4f}")
+
+
+if __name__ == "__main__":
+    main()

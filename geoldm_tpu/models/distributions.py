@@ -83,11 +83,20 @@ class DistributionProperty:
         mad = self.normalizer[prop]["mad"]
         return (val - mean) / mad
 
+    def _nearest_size(self, prop: str, n_nodes: int) -> int:
+        """Fall back to the nearest molecule size with data (the reference
+        KeyErrors on unseen sizes — qm9/models.py:269)."""
+        dist = self.distributions[prop]
+        if int(n_nodes) in dist:
+            return int(n_nodes)
+        sizes = np.array(sorted(dist.keys()))
+        return int(sizes[np.argmin(np.abs(sizes - int(n_nodes)))])
+
     def sample(self, n_nodes: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         rng = rng or np.random.default_rng()
         vals = []
         for prop in self.properties:
-            dist = self.distributions[prop][int(n_nodes)]
+            dist = self.distributions[prop][self._nearest_size(prop, int(n_nodes))]
             i = rng.choice(self.num_bins, p=dist["probs"])
             lo, hi = dist["params"]
             prop_range = hi - lo

@@ -137,11 +137,9 @@ def train_classifier(
             res["best_epoch"] = epoch
             best_params = jax.tree.map(np.asarray, params)
             if outdir:
-                os.makedirs(outdir, exist_ok=True)
-                np.savez(
-                    os.path.join(outdir, "best_checkpoint.npz"),
-                    **{"/".join(map(str, k)): v for k, v in _flatten(best_params)},
-                )
+                from geoldm_tpu.utils import checkpoint as ckpt
+
+                ckpt.save_checkpoint(outdir, best_params, name="best")
         print(
             f"Val loss: {val_loss:.4f} \t test loss: {test_loss:.4f} \t epoch {epoch}"
         )
@@ -150,16 +148,3 @@ def train_classifier(
                 json.dump(res, f, indent=4)
 
     return {"params": best_params, **res}
-
-
-def _flatten(tree, prefix=()):
-    out = []
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.extend(_flatten(v, prefix + (k,)))
-    elif isinstance(tree, (tuple, list)):
-        for i, v in enumerate(tree):
-            out.extend(_flatten(v, prefix + (i,)))
-    else:
-        out.append((prefix, tree))
-    return out
