@@ -11,7 +11,8 @@ one JSON line:
 
 Weights are randomly initialized — throughput does not depend on training.
 Env knobs: GEOLDM_BENCH_BATCH (default 250), GEOLDM_BENCH_REPS (default 2),
-GEOLDM_BENCH_STEPS (default 1000), GEOLDM_BENCH_DTYPE (float32|bfloat16).
+GEOLDM_BENCH_STEPS (default 1000), GEOLDM_BENCH_DTYPE
+(float32|bfloat16|pallas|bfloat16_pallas), GEOLDM_BENCH_PAD (default 32).
 """
 
 from __future__ import annotations
@@ -35,11 +36,15 @@ def main() -> None:
     from geoldm_tpu.diffusion import latent as ldm
     from geoldm_tpu.models import factory
 
+    from geoldm_tpu.nn.core import resolve_compute
+
     batch = int(os.environ.get("GEOLDM_BENCH_BATCH", "250"))
     reps = int(os.environ.get("GEOLDM_BENCH_REPS", "2"))
     steps = int(os.environ.get("GEOLDM_BENCH_STEPS", "1000"))
     dtype_name = os.environ.get("GEOLDM_BENCH_DTYPE", "float32")
-    compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else None
+    # Pad to 32 nodes (MXU/VPU sublane alignment) — masks make it exact.
+    pad = int(os.environ.get("GEOLDM_BENCH_PAD", "32"))
+    compute_dtype = resolve_compute(dtype_name)
 
     info = get_dataset_info("qm9")
     cfg = factory.make_latent_diffusion_config(
@@ -48,7 +53,7 @@ def main() -> None:
     params = factory.init_params(jax.random.key(0), cfg)
 
     node_mask_np, edge_mask_np, _ = sampling_masks(
-        info, batch, pad_nodes=info.max_n_nodes, rng=np.random.default_rng(0)
+        info, batch, pad_nodes=pad, rng=np.random.default_rng(0)
     )
     node_mask = jnp.asarray(node_mask_np)
     edge_mask = jnp.asarray(edge_mask_np)

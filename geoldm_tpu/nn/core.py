@@ -13,12 +13,47 @@ convention: ``y = x @ w + b``) — the natural layout for XLA matmuls.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+class ComputeSpec(NamedTuple):
+    """How to execute the EGNN compute path.
+
+    ``dtype``: matmul operand dtype (None = float32 params as-is;
+    jnp.bfloat16 casts operands, accumulating in float32 on the MXU).
+    ``backend``: 'xla' (dense masked einsum graph) or 'pallas' (fused
+    per-block TPU kernel, ops/pallas_egnn.py).
+
+    Every model-level function takes a ``compute_dtype`` argument that may
+    be a raw dtype or a ComputeSpec; only ``linear`` and the EGNN wrappers
+    interpret it.
+    """
+
+    dtype: Optional[object] = None
+    backend: str = "xla"
+
+
+def resolve_compute(compute_dtype) -> ComputeSpec:
+    if compute_dtype is None:
+        return ComputeSpec()
+    if isinstance(compute_dtype, ComputeSpec):
+        return compute_dtype
+    if isinstance(compute_dtype, str):
+        if compute_dtype in ("pallas", "xla"):
+            return ComputeSpec(None, compute_dtype)
+        if compute_dtype == "bfloat16":
+            return ComputeSpec(jnp.bfloat16, "xla")
+        if compute_dtype == "float32":
+            return ComputeSpec()
+        if compute_dtype == "bfloat16_pallas":
+            return ComputeSpec(jnp.bfloat16, "pallas")
+        raise ValueError(compute_dtype)
+    return ComputeSpec(compute_dtype, "xla")
 
 
 def linear_init(key: Array, in_f: int, out_f: int, bias: bool = True) -> dict:
@@ -40,9 +75,13 @@ def linear_init_xavier(key: Array, in_f: int, out_f: int, gain: float = 1.0, bia
     return p
 
 
-def linear(p: dict, x: Array, compute_dtype: Optional[jnp.dtype] = None) -> Array:
+def linear(p: dict, x: Array, compute_dtype=None) -> Array:
     """y = x @ w (+ b), optionally casting the matmul inputs (MXU bf16 path)
     while accumulating in float32."""
+    if isinstance(compute_dtype, ComputeSpec):
+        compute_dtype = compute_dtype.dtype
+    elif isinstance(compute_dtype, str):
+        compute_dtype = resolve_compute(compute_dtype).dtype
     w = p["w"]
     if compute_dtype is not None and w.dtype != compute_dtype:
         y = jax.lax.dot_general(

@@ -26,11 +26,21 @@ import jax
 import jax.numpy as jnp
 
 from geoldm_tpu.config import DynamicsConfig, EGNNConfig
-from geoldm_tpu.nn.core import linear, linear_init, silu
+from geoldm_tpu.nn.core import linear, linear_init, resolve_compute, silu
 from geoldm_tpu.nn.egnn import egnn_apply, egnn_init, gnn_apply, gnn_init
 from geoldm_tpu.ops.com import remove_mean_with_mask
 
 Array = jax.Array
+
+
+def _run_egnn(egnn_params, egnn_cfg, h, x, node_mask, edge_mask, compute_dtype):
+    """Dispatch to the XLA graph or the fused Pallas kernel per ComputeSpec."""
+    spec = resolve_compute(compute_dtype)
+    if spec.backend == "pallas":
+        from geoldm_tpu.ops.pallas_egnn import egnn_apply_pallas
+
+        return egnn_apply_pallas(egnn_params, egnn_cfg, h, x, node_mask, spec.dtype)
+    return egnn_apply(egnn_params, egnn_cfg, h, x, node_mask, edge_mask, spec)
 
 
 def _nan_reset(x: Array, fill: float = 0.0) -> Array:
@@ -84,7 +94,7 @@ def dynamics_apply(
         h = jnp.concatenate([h, context], axis=-1)
 
     if cfg.mode == "egnn_dynamics":
-        h_final, x_final = egnn_apply(
+        h_final, x_final = _run_egnn(
             params["egnn"], cfg.egnn, h, x, node_mask, edge_mask, compute_dtype
         )
         vel = (x_final - x) * node_mask
@@ -152,7 +162,7 @@ def encoder_apply(
     if context is not None:
         h = jnp.concatenate([h, context], axis=-1)
 
-    h_final, x_final = egnn_apply(
+    h_final, x_final = _run_egnn(
         params["egnn"], cfg, h, x, node_mask, edge_mask, compute_dtype
     )
     vel = x_final * node_mask
@@ -205,7 +215,7 @@ def decoder_apply(
     if context is not None:
         h = jnp.concatenate([h, context], axis=-1)
 
-    h_final, x_final = egnn_apply(
+    h_final, x_final = _run_egnn(
         params["egnn"], cfg, h, x, node_mask, edge_mask, compute_dtype
     )
     vel = x_final * node_mask

@@ -1,0 +1,319 @@
+"""Fused Pallas TPU kernel for one EGNN EquivariantBlock.
+
+The XLA path materializes the [B, N, N, H] edge activations in HBM between
+fusions (three such tensors per GCL: pre-activation, messages, gated
+messages). This kernel runs one *entire* EquivariantBlock per grid step —
+distance features, inv_sublayers GCLs (edge MLP + attention gate + masked
+aggregation + node MLP) and the equivariant coordinate update — entirely in
+VMEM, so the only HBM traffic per block is the [B, N, H] node features,
+[B, N, 3] coordinates and the weights.
+
+Inputs are deliberately tiny: the edge mask is reconstructed in-kernel from
+the node mask, and the initial distance features are recomputed from the
+input coordinates x0 (instead of streaming a [B, N, N, E] tensor).
+
+Matmuls hit the MXU as [N*N, H] x [H, H] contractions with float32
+accumulation; an optional bfloat16 compute mode casts matmul operands only.
+
+The public entry point ``fused_block_apply`` has a custom VJP whose backward
+pass re-runs the reference XLA block (rematerialization) and differentiates
+it — so the kernel is safe under ``jax.grad`` while the forward stays fused.
+
+Semantics match geoldm_tpu.nn.egnn.block_apply exactly (which itself is
+forward-parity-tested against the reference egnn/egnn_new.py:108-147).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geoldm_tpu.config import EGNNConfig
+from geoldm_tpu.ops.distance import SIN_EMBEDDING_DIM, _FREQUENCIES
+
+Array = jax.Array
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _matmul(a, w, compute_dtype):
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    return jax.lax.dot_general(
+        a, w, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _sin_features(radial):
+    """Sinusoidal distance features from d^2, built with static Python-float
+    frequencies (Pallas kernels cannot capture array constants)."""
+    d = jnp.sqrt(radial + 1e-8)
+    sins = [jnp.sin(d * float(f)) for f in _FREQUENCIES]
+    coss = [jnp.cos(d * float(f)) for f in _FREQUENCIES]
+    return jnp.concatenate(sins + coss, axis=-1)
+
+
+def _dist_features(x, sin_embedding: bool):
+    """Squared distances [N,N,1] (or sinusoidal features [N,N,D])."""
+    diff = x[:, None, :] - x[None, :, :]
+    radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    if not sin_embedding:
+        return radial
+    return _sin_features(radial)
+
+
+def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype):
+    """Kernel closure for a given (static) config and node count."""
+    n_gcl = cfg.inv_sublayers
+    attention = cfg.attention
+    hidden = cfg.hidden_nf
+    e_feat = cfg.edge_feat_nf
+
+    def kernel(*refs):
+        # Layout: [h, x, x0, node_mask] + per-gcl weights + coord weights,
+        # then outputs [h_out, x_out].
+        it = iter(refs)
+        h_ref = next(it)
+        x_ref = next(it)
+        x0_ref = next(it)
+        mask_ref = next(it)
+        gcl_ws = [
+            {
+                "w1": next(it), "b1": next(it), "w2": next(it), "b2": next(it),
+                **({"wa": next(it), "ba": next(it)} if attention else {}),
+                "wn1": next(it), "bn1": next(it), "wn2": next(it), "bn2": next(it),
+            }
+            for _ in range(n_gcl)
+        ]
+        cw = {"w1": next(it), "b1": next(it), "w2": next(it), "b2": next(it),
+              "w3": next(it)}
+        h_out_ref = next(it)
+        x_out_ref = next(it)
+
+        h = h_ref[0]  # [N, H]
+        x = x_ref[0]  # [N, 3]
+        x0 = x0_ref[0]
+        node_mask = mask_ref[0]  # [N, 1]
+
+        # Masks: edge = outer(node) minus diagonal.
+        pair_mask = node_mask * node_mask[:, 0][None, :]  # [N, N]
+        eye = jnp.eye(n, dtype=pair_mask.dtype)
+        edge_mask = (pair_mask * (1.0 - eye))[:, :, None]  # [N, N, 1]
+
+        # Distance features: current-x (block) + initial-x (global).
+        diff = x[:, None, :] - x[None, :, :]
+        radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
+        norm = jnp.sqrt(radial + 1e-8)
+        coord_diff = diff / (norm + cfg.norm_constant)
+        if cfg.sin_embedding:
+            dist_feat = _sin_features(radial)
+        else:
+            dist_feat = radial
+        e0 = _dist_features(x0, cfg.sin_embedding)
+        eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [N, N, E]
+        eattr2 = eattr.reshape(n * n, e_feat)
+
+        def edge_pre(h_, w1, b1):
+            """First edge-MLP layer without materializing [h_i, h_j] concat."""
+            w_src = w1[:hidden]
+            w_dst = w1[hidden : 2 * hidden]
+            w_e = w1[2 * hidden :]
+            src = _matmul(h_, w_src, compute_dtype)  # [N, H]
+            dst = _matmul(h_, w_dst, compute_dtype)  # [N, H]
+            pre = src[:, None, :] + dst[None, :, :]  # [N, N, H]
+            pre = pre.reshape(n * n, hidden) + _matmul(eattr2, w_e, compute_dtype)
+            return pre + b1
+
+        for g in gcl_ws:
+            pre = edge_pre(h, g["w1"][:], g["b1"][:])
+            m = _silu(_matmul(_silu(pre), g["w2"][:], compute_dtype) + g["b2"][:])
+            if attention:
+                m = m * jax.nn.sigmoid(_matmul(m, g["wa"][:], compute_dtype) + g["ba"][:])
+            m = m.reshape(n, n, hidden) * edge_mask
+            agg = jnp.sum(m, axis=1)  # [N, H]
+            if cfg.aggregation_method == "sum":
+                agg = agg / cfg.normalization_factor
+            else:
+                agg = agg / n
+            node_in = jnp.concatenate([h, agg], axis=-1)
+            upd = _matmul(
+                _silu(_matmul(node_in, g["wn1"][:], compute_dtype) + g["bn1"][:]),
+                g["wn2"][:], compute_dtype,
+            ) + g["bn2"][:]
+            h = (h + upd) * node_mask
+
+        # Equivariant coordinate update.
+        pre = edge_pre(h, cw["w1"][:], cw["b1"][:])
+        mid = _silu(_matmul(_silu(pre), cw["w2"][:], compute_dtype) + cw["b2"][:])
+        s = _matmul(mid, cw["w3"][:], compute_dtype)  # [N*N, 1]
+        if cfg.tanh:
+            s = jnp.tanh(s) * cfg.coords_range_layer
+        trans = coord_diff * s.reshape(n, n, 1) * edge_mask
+        aggx = jnp.sum(trans, axis=1)
+        if cfg.aggregation_method == "sum":
+            aggx = aggx / cfg.normalization_factor
+        else:
+            aggx = aggx / n
+        x = (x + aggx) * node_mask
+
+        h_out_ref[0] = h * node_mask
+        x_out_ref[0] = x
+
+    return kernel
+
+
+def _block_weight_list(block_params: dict, attention: bool):
+    ws = []
+    for g in block_params["gcls"]:
+        ws += [g["edge_mlp"][0]["w"], g["edge_mlp"][0]["b"],
+               g["edge_mlp"][1]["w"], g["edge_mlp"][1]["b"]]
+        if attention:
+            ws += [g["att_mlp"]["w"], g["att_mlp"]["b"]]
+        ws += [g["node_mlp"][0]["w"], g["node_mlp"][0]["b"],
+               g["node_mlp"][1]["w"], g["node_mlp"][1]["b"]]
+    ws += [block_params["coord_mlp"][0]["w"], block_params["coord_mlp"][0]["b"],
+           block_params["coord_mlp"][1]["w"], block_params["coord_mlp"][1]["b"],
+           block_params["coord_mlp"][2]["w"]]
+    return ws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7))
+def fused_block_apply(
+    cfg: EGNNConfig,
+    block_params: dict,
+    h: Array,
+    x: Array,
+    x0: Array,
+    node_mask: Array,
+    compute_dtype=None,
+    interpret: bool = False,
+):
+    """One EquivariantBlock, fused. h [B,N,H], x/x0 [B,N,3], node_mask [B,N,1].
+
+    Equivalent to nn.egnn.block_apply with edge_attr0 = distance features of
+    x0 and edge_mask = outer(node_mask) minus diagonal."""
+    return _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
+                                 compute_dtype, interpret)
+
+
+def _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
+                          compute_dtype, interpret):
+    b, n, hidden = h.shape
+    weights = _block_weight_list(block_params, cfg.attention)
+
+    def batch_spec(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def weight_spec(w):
+        return pl.BlockSpec(
+            w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
+        )
+
+    kernel = _make_kernel(cfg, n, compute_dtype)
+    flops_per_item = (
+        # Two node-side first-layer matmuls + edge matmuls per GCL + coord MLP.
+        2 * (2 * n * hidden * hidden)
+        + cfg.inv_sublayers * (2 * n * n * hidden * hidden * 2)
+        + 2 * n * n * hidden * hidden
+    )
+    h_out, x_out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            batch_spec((n, hidden)),
+            batch_spec((n, 3)),
+            batch_spec((n, 3)),
+            batch_spec((n, 1)),
+            *[weight_spec(w) for w in weights],
+        ],
+        out_specs=[
+            batch_spec((n, hidden)),
+            batch_spec((n, 3)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hidden), h.dtype),
+            jax.ShapeDtypeStruct((b, n, 3), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops_per_item,
+            bytes_accessed=4 * b * (2 * n * hidden + 4 * n * 3 + n),
+            transcendentals=b * n * n * hidden * 2,
+        ),
+        interpret=interpret,
+    )(h, x, x0, node_mask, *weights)
+    return h_out, x_out
+
+
+def _reference_block(cfg, block_params, h, x, x0, node_mask):
+    from geoldm_tpu.nn.egnn import block_apply
+    from geoldm_tpu.ops.distance import build_edge_mask, coord2diff, sin_embedding
+
+    radial0, _ = coord2diff(x0)
+    e0 = sin_embedding(radial0) if cfg.sin_embedding else radial0
+    edge_mask = build_edge_mask(node_mask)
+    return block_apply(block_params, cfg, h, x, e0, node_mask, edge_mask)
+
+
+def _fwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret):
+    out = _fused_block_fwd_impl(
+        cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret
+    )
+    return out, (block_params, h, x, x0, node_mask)
+
+
+def _bwd(cfg, compute_dtype, interpret, residuals, cotangents):
+    """Backward = differentiate the XLA reference block (rematerialized)."""
+    block_params, h, x, x0, node_mask = residuals
+    _, vjp_fn = jax.vjp(
+        lambda p, h_, x_: _reference_block(cfg, p, h_, x_, x0, node_mask),
+        block_params, h, x,
+    )
+    d_params, dh, dx = vjp_fn(tuple(cotangents))
+    return (d_params, dh, dx, jnp.zeros_like(x0), jnp.zeros_like(node_mask))
+
+
+fused_block_apply.defvjp(_fwd, _bwd)
+
+
+def egnn_apply_pallas(
+    params: dict,
+    cfg: EGNNConfig,
+    h: Array,
+    x: Array,
+    node_mask: Array,
+    compute_dtype=None,
+    interpret: bool = False,
+):
+    """Full EGNN forward with the fused Pallas block.
+
+    Same contract as nn.egnn.egnn_apply (edge_mask is derived in-kernel)."""
+    from geoldm_tpu.nn.core import linear
+
+    x0 = x
+    h = linear(params["embedding"], h, compute_dtype)
+    if cfg.n_layers > 0:
+
+        def body(carry, block_p):
+            h, x = carry
+            h, x = fused_block_apply(
+                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret
+            )
+            return (h, x), None
+
+        (h, x), _ = jax.lax.scan(body, (h, x), params["blocks"])
+    h = linear(params["embedding_out"], h, compute_dtype)
+    h = h * node_mask
+    return h, x

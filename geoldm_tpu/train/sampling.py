@@ -44,8 +44,10 @@ def rotate_chain(z: np.ndarray, n_steps: int = 30) -> np.ndarray:
 
 @lru_cache(maxsize=8)
 def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str]):
-    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
-    fn = factory.model_sample_fn(model_cfg, compute_dtype=compute_dtype)
+    from geoldm_tpu.nn.core import resolve_compute
+
+    spec = resolve_compute(compute_dtype_name)
+    fn = factory.model_sample_fn(model_cfg, compute_dtype=spec)
     return jax.jit(fn, static_argnames=("fix_noise",))
 
 
@@ -124,7 +126,9 @@ def sample_chain(
             np.broadcast_to(ctx[None, None, :], (1, n_nodes, len(ctx))).copy()
         )
 
-    compute_dtype_ = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    from geoldm_tpu.nn.core import resolve_compute
+
+    compute_dtype_ = resolve_compute(compute_dtype)
 
     @jax.jit
     def chain_fn(params, key):
