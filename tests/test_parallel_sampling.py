@@ -1,0 +1,40 @@
+"""Batch-sharded sampling on the virtual device mesh: the sampler compiles
+and executes under SPMD with outputs identical to single-device execution
+(same RNG keys => same samples)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geoldm_tpu.data.datasets_config import get_dataset_info
+from geoldm_tpu.models import factory
+from geoldm_tpu.ops.distance import build_edge_mask
+from geoldm_tpu.parallel import sharding as shd
+
+INFO = get_dataset_info("qm9")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_sampling_matches_single_device():
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    sample_fn = factory.model_sample_fn(cfg)
+
+    b, n = 8, 6
+    node_mask = jnp.ones((b, n, 1))
+    edge_mask = build_edge_mask(node_mask)
+    key = jax.random.key(7)
+
+    x_ref, hc_ref, hi_ref = jax.jit(sample_fn)(params, key, node_mask, edge_mask)
+
+    mesh = shd.make_mesh(dp=8, tp=1)
+    params_sh = shd.shard_params(params, mesh)
+    node_mask_sh = jax.device_put(node_mask, shd.batch_sharding(mesh))
+    edge_mask_sh = jax.device_put(edge_mask, shd.batch_sharding(mesh))
+    x_sh, hc_sh, hi_sh = jax.jit(sample_fn)(params_sh, key, node_mask_sh, edge_mask_sh)
+
+    np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_sh), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hc_ref), np.asarray(hc_sh), atol=1e-4)
