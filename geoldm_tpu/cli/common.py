@@ -223,6 +223,12 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     train_step = jax.jit(make_train_step(model_cfg, train_cfg, tx, compute_dtype))
     eval_nll = jax.jit(make_eval_nll(model_cfg, compute_dtype))
 
+    if model_cfg.kind != "vae":
+        from geoldm_tpu.diffusion import vdm as vdm_mod
+
+        info = vdm_mod.log_info(model_cfg.diffusion, state.params)
+        print(f"schedule: {info}")
+
     logger = MetricLogger(
         outdir=outdir, use_wandb=not args.no_wandb, exp_name=args.exp_name,
         online=args.online,

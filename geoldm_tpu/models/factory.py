@@ -81,9 +81,12 @@ def make_diffusion_model_config(
     """Plain E(n) diffusion over (x, h). reference: qm9/models.py:12-51."""
     in_node_nf = len(dataset_info["atom_decoder"]) + int(include_charges)
     dyn_in = in_node_nf + int(condition_time)
+    # gnn_dynamics consumes [x, h] concat and emits [vel, h]
+    # (reference: egnn/models.py:25-30): 3 extra in/out channels.
+    extra = 3 if model == "gnn_dynamics" else 0
     egnn = _egnn_cfg(
-        dyn_in + context_node_nf,
-        dyn_in + context_node_nf,
+        dyn_in + context_node_nf + extra,
+        dyn_in + context_node_nf + extra,
         nf,
         n_layers,
         attention=attention,
@@ -210,9 +213,10 @@ def make_latent_diffusion_config(
         aggregation_method=aggregation_method,
     )
     dyn_in = latent_nf + int(condition_time)
+    extra = 3 if model == "gnn_dynamics" else 0
     egnn = _egnn_cfg(
-        dyn_in + context_node_nf,
-        dyn_in + context_node_nf,
+        dyn_in + context_node_nf + extra,
+        dyn_in + context_node_nf + extra,
         nf,
         n_layers,
         attention=attention,

@@ -72,12 +72,17 @@ def _dist_features(x, sin_embedding: bool):
     return _sin_features(radial)
 
 
-def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype):
-    """Kernel closure for a given (static) config and node count."""
+def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype, group: int):
+    """Kernel closure for a given (static) config and node count.
+
+    ``group`` molecules are processed per grid step: node matmuls become
+    [G*N, H] and edge matmuls [G*N*N, H] contractions, amortizing grid-step
+    overhead and filling the MXU."""
     n_gcl = cfg.inv_sublayers
     attention = cfg.attention
     hidden = cfg.hidden_nf
     e_feat = cfg.edge_feat_nf
+    g_ = group
 
     def kernel(*refs):
         # Layout: [h, x, x0, node_mask] + per-gcl weights + coord weights,
@@ -100,18 +105,18 @@ def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype):
         h_out_ref = next(it)
         x_out_ref = next(it)
 
-        h = h_ref[0]  # [N, H]
-        x = x_ref[0]  # [N, 3]
-        x0 = x0_ref[0]
-        node_mask = mask_ref[0]  # [N, 1]
+        h = h_ref[:]  # [G, N, H]
+        x = x_ref[:]  # [G, N, 3]
+        x0 = x0_ref[:]
+        node_mask = mask_ref[:]  # [G, N, 1]
 
-        # Masks: edge = outer(node) minus diagonal.
-        pair_mask = node_mask * node_mask[:, 0][None, :]  # [N, N]
-        eye = jnp.eye(n, dtype=pair_mask.dtype)
-        edge_mask = (pair_mask * (1.0 - eye))[:, :, None]  # [N, N, 1]
+        # Masks: edge = outer(node) minus diagonal, per molecule.
+        pair_mask = node_mask * node_mask[:, :, 0][:, None, :]  # [G, N, N]
+        eye = jnp.eye(n, dtype=pair_mask.dtype)[None]
+        edge_mask = (pair_mask * (1.0 - eye))[..., None]  # [G, N, N, 1]
 
         # Distance features: current-x (block) + initial-x (global).
-        diff = x[:, None, :] - x[None, :, :]
+        diff = x[:, :, None, :] - x[:, None, :, :]  # [G, N, N, 3]
         radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
         norm = jnp.sqrt(radial + 1e-8)
         coord_diff = diff / (norm + cfg.norm_constant)
@@ -119,19 +124,24 @@ def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype):
             dist_feat = _sin_features(radial)
         else:
             dist_feat = radial
-        e0 = _dist_features(x0, cfg.sin_embedding)
-        eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [N, N, E]
-        eattr2 = eattr.reshape(n * n, e_feat)
+        diff0 = x0[:, :, None, :] - x0[:, None, :, :]
+        radial0 = jnp.sum(diff0 * diff0, axis=-1, keepdims=True)
+        e0 = _sin_features(radial0) if cfg.sin_embedding else radial0
+        eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [G, N, N, E]
+        eattr2 = eattr.reshape(g_ * n * n, e_feat)
 
         def edge_pre(h_, w1, b1):
             """First edge-MLP layer without materializing [h_i, h_j] concat."""
             w_src = w1[:hidden]
             w_dst = w1[hidden : 2 * hidden]
             w_e = w1[2 * hidden :]
-            src = _matmul(h_, w_src, compute_dtype)  # [N, H]
-            dst = _matmul(h_, w_dst, compute_dtype)  # [N, H]
-            pre = src[:, None, :] + dst[None, :, :]  # [N, N, H]
-            pre = pre.reshape(n * n, hidden) + _matmul(eattr2, w_e, compute_dtype)
+            h2 = h_.reshape(g_ * n, hidden)
+            src = _matmul(h2, w_src, compute_dtype).reshape(g_, n, hidden)
+            dst = _matmul(h2, w_dst, compute_dtype).reshape(g_, n, hidden)
+            pre = src[:, :, None, :] + dst[:, None, :, :]  # [G, N, N, H]
+            pre = pre.reshape(g_ * n * n, hidden) + _matmul(
+                eattr2, w_e, compute_dtype
+            )
             return pre + b1
 
         for g in gcl_ws:
@@ -139,35 +149,35 @@ def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype):
             m = _silu(_matmul(_silu(pre), g["w2"][:], compute_dtype) + g["b2"][:])
             if attention:
                 m = m * jax.nn.sigmoid(_matmul(m, g["wa"][:], compute_dtype) + g["ba"][:])
-            m = m.reshape(n, n, hidden) * edge_mask
-            agg = jnp.sum(m, axis=1)  # [N, H]
+            m = m.reshape(g_, n, n, hidden) * edge_mask
+            agg = jnp.sum(m, axis=2)  # [G, N, H]
             if cfg.aggregation_method == "sum":
                 agg = agg / cfg.normalization_factor
             else:
                 agg = agg / n
-            node_in = jnp.concatenate([h, agg], axis=-1)
+            node_in = jnp.concatenate([h, agg], axis=-1).reshape(g_ * n, 2 * hidden)
             upd = _matmul(
                 _silu(_matmul(node_in, g["wn1"][:], compute_dtype) + g["bn1"][:]),
                 g["wn2"][:], compute_dtype,
             ) + g["bn2"][:]
-            h = (h + upd) * node_mask
+            h = (h + upd.reshape(g_, n, hidden)) * node_mask
 
         # Equivariant coordinate update.
         pre = edge_pre(h, cw["w1"][:], cw["b1"][:])
         mid = _silu(_matmul(_silu(pre), cw["w2"][:], compute_dtype) + cw["b2"][:])
-        s = _matmul(mid, cw["w3"][:], compute_dtype)  # [N*N, 1]
+        s = _matmul(mid, cw["w3"][:], compute_dtype)  # [G*N*N, 1]
         if cfg.tanh:
             s = jnp.tanh(s) * cfg.coords_range_layer
-        trans = coord_diff * s.reshape(n, n, 1) * edge_mask
-        aggx = jnp.sum(trans, axis=1)
+        trans = coord_diff * s.reshape(g_, n, n, 1) * edge_mask
+        aggx = jnp.sum(trans, axis=2)
         if cfg.aggregation_method == "sum":
             aggx = aggx / cfg.normalization_factor
         else:
             aggx = aggx / n
         x = (x + aggx) * node_mask
 
-        h_out_ref[0] = h * node_mask
-        x_out_ref[0] = x
+        h_out_ref[:] = h * node_mask
+        x_out_ref[:] = x
 
     return kernel
 
@@ -187,7 +197,17 @@ def _block_weight_list(block_params: dict, attention: bool):
     return ws
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7))
+def _auto_group(b: int, n: int, hidden: int) -> int:
+    """Largest group size <= 8 dividing b whose [G*N*N, H] f32 pair buffers
+    stay within a conservative VMEM budget."""
+    budget = 8 * 1024 * 1024  # bytes for ~2 live pair buffers
+    for g in (8, 4, 2, 1):
+        if b % g == 0 and 2 * g * n * n * hidden * 4 <= budget:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8))
 def fused_block_apply(
     cfg: EGNNConfig,
     block_params: dict,
@@ -197,23 +217,26 @@ def fused_block_apply(
     node_mask: Array,
     compute_dtype=None,
     interpret: bool = False,
+    group: Optional[int] = None,
 ):
     """One EquivariantBlock, fused. h [B,N,H], x/x0 [B,N,3], node_mask [B,N,1].
 
     Equivalent to nn.egnn.block_apply with edge_attr0 = distance features of
     x0 and edge_mask = outer(node_mask) minus diagonal."""
     return _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
-                                 compute_dtype, interpret)
+                                 compute_dtype, interpret, group)
 
 
 def _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
-                          compute_dtype, interpret):
+                          compute_dtype, interpret, group=None):
     b, n, hidden = h.shape
     weights = _block_weight_list(block_params, cfg.attention)
+    g = group or _auto_group(b, n, hidden)
+    assert b % g == 0, f"batch {b} not divisible by group {g}"
 
     def batch_spec(shape):
         return pl.BlockSpec(
-            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            (g,) + shape, lambda i: (i,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
 
@@ -222,7 +245,7 @@ def _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
             w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
         )
 
-    kernel = _make_kernel(cfg, n, compute_dtype)
+    kernel = _make_kernel(cfg, n, compute_dtype, g)
     flops_per_item = (
         # Two node-side first-layer matmuls + edge matmuls per GCL + coord MLP.
         2 * (2 * n * hidden * hidden)
@@ -231,7 +254,7 @@ def _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
     )
     h_out, x_out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
             batch_spec((n, hidden)),
             batch_spec((n, 3)),
@@ -267,14 +290,14 @@ def _reference_block(cfg, block_params, h, x, x0, node_mask):
     return block_apply(block_params, cfg, h, x, e0, node_mask, edge_mask)
 
 
-def _fwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret):
+def _fwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret, group):
     out = _fused_block_fwd_impl(
-        cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret
+        cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret, group
     )
     return out, (block_params, h, x, x0, node_mask)
 
 
-def _bwd(cfg, compute_dtype, interpret, residuals, cotangents):
+def _bwd(cfg, compute_dtype, interpret, group, residuals, cotangents):
     """Backward = differentiate the XLA reference block (rematerialized)."""
     block_params, h, x, x0, node_mask = residuals
     _, vjp_fn = jax.vjp(
@@ -296,6 +319,7 @@ def egnn_apply_pallas(
     node_mask: Array,
     compute_dtype=None,
     interpret: bool = False,
+    group: Optional[int] = None,
 ):
     """Full EGNN forward with the fused Pallas block.
 
@@ -309,7 +333,7 @@ def egnn_apply_pallas(
         def body(carry, block_p):
             h, x = carry
             h, x = fused_block_apply(
-                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret
+                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret, group
             )
             return (h, x), None
 
