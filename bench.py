@@ -3,16 +3,23 @@
 North-star metric (BASELINE.md): generate 10k QM9 molecules through the
 full latent-diffusion reverse process (T=1000, nf=256, 9-layer EGNN denoiser,
 latent_nf=1) in under 10 minutes — i.e. >= 16.67 molecules/sec sustained.
-This harness times the jitted `lax.scan` sampler on real hardware and prints
-one JSON line:
+
+The measured protocol mirrors eval_analyze: molecule sizes are drawn from
+the QM9 size histogram and generation is SIZE-BUCKETED (pads 16/24/32), so
+small molecules don't pay the max-size O(N^2) edge cost. Weights are random
+— throughput does not depend on training. Prints one JSON line:
 
   {"metric": "qm9_sample_mol_per_sec", "value": ..., "unit": "mol/s",
    "vs_baseline": value / 16.67}
 
-Weights are randomly initialized — throughput does not depend on training.
-Env knobs: GEOLDM_BENCH_BATCH (default 250), GEOLDM_BENCH_REPS (default 2),
-GEOLDM_BENCH_STEPS (default 1000), GEOLDM_BENCH_DTYPE
-(float32|bfloat16|pallas|bfloat16_pallas), GEOLDM_BENCH_PAD (default 32).
+Env knobs:
+  GEOLDM_BENCH_TOTAL  molecules to time (default 1000)
+  GEOLDM_BENCH_BATCH  per-bucket chunk size (default 250)
+  GEOLDM_BENCH_STEPS  diffusion steps (default 1000; value is normalized
+                      back to the T=1000 protocol)
+  GEOLDM_BENCH_DTYPE  float32|bfloat16|pallas|bfloat16_pallas
+                      (default pallas — fused block kernel, f32)
+  GEOLDM_BENCH_FLAT   set to 1 to disable bucketing (pad everything to 32)
 """
 
 from __future__ import annotations
@@ -29,62 +36,55 @@ TARGET_MOL_PER_SEC = 10_000 / 600.0  # 10k molecules / 10 minutes
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from geoldm_tpu.data.datasets_config import get_dataset_info
-    from geoldm_tpu.data.synthetic import sampling_masks
-    from geoldm_tpu.diffusion import latent as ldm
     from geoldm_tpu.models import factory
+    from geoldm_tpu.models.distributions import DistributionNodes
+    from geoldm_tpu.train import sampling as sampling_mod
 
-    from geoldm_tpu.nn.core import resolve_compute
-
+    total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
     batch = int(os.environ.get("GEOLDM_BENCH_BATCH", "250"))
-    reps = int(os.environ.get("GEOLDM_BENCH_REPS", "2"))
     steps = int(os.environ.get("GEOLDM_BENCH_STEPS", "1000"))
-    dtype_name = os.environ.get("GEOLDM_BENCH_DTYPE", "float32")
-    # Pad to 32 nodes (MXU/VPU sublane alignment) — masks make it exact.
-    pad = int(os.environ.get("GEOLDM_BENCH_PAD", "32"))
-    compute_dtype = resolve_compute(dtype_name)
+    dtype_name = os.environ.get("GEOLDM_BENCH_DTYPE", "pallas")
+    flat = os.environ.get("GEOLDM_BENCH_FLAT", "0") == "1"
 
     info = get_dataset_info("qm9")
     cfg = factory.make_latent_diffusion_config(
         info, nf=256, n_layers=9, latent_nf=1, diffusion_steps=steps,
     )
     params = factory.init_params(jax.random.key(0), cfg)
+    nodes_dist = DistributionNodes(info.n_nodes)
+    rng = np.random.default_rng(0)
 
-    node_mask_np, edge_mask_np, _ = sampling_masks(
-        info, batch, pad_nodes=pad, rng=np.random.default_rng(0)
-    )
-    node_mask = jnp.asarray(node_mask_np)
-    edge_mask = jnp.asarray(edge_mask_np)
+    buckets = (32,) if flat else (16, 24, 32)
 
-    @jax.jit
-    def sample(params, key):
-        return ldm.ldm_sample(
-            params, cfg.diffusion, cfg.dynamics, cfg.vae, key, node_mask,
-            edge_mask, compute_dtype=compute_dtype,
+    def generate(key, nodesxsample):
+        return sampling_mod.sample_bucketed(
+            cfg, params, key, info, nodesxsample, batch_size=batch,
+            buckets=buckets, compute_dtype=dtype_name, rng=rng,
         )
 
-    # Warmup / compile.
+    # Warmup: compile each (bucket, batch) shape once with one full chunk
+    # per bucket (the timed run then reuses the compiled executables).
+    warm_sizes = np.concatenate([np.full(batch, b - 1) for b in buckets])
     t0 = time.perf_counter()
-    out = sample(params, jax.random.key(1))
-    jax.block_until_ready(out)
+    generate(jax.random.key(1), warm_sizes)
     compile_time = time.perf_counter() - t0
-    print(f"# compile+first-run: {compile_time:.1f}s", file=sys.stderr)
+    print(f"# compile+warmup ({len(buckets)} shapes): {compile_time:.1f}s",
+          file=sys.stderr)
 
+    nodesxsample = nodes_dist.sample(total, rng)
     t0 = time.perf_counter()
-    for i in range(reps):
-        out = sample(params, jax.random.key(2 + i))
-    jax.block_until_ready(out)
+    out = generate(jax.random.key(2), nodesxsample)
+    jax.block_until_ready(out[0])
     elapsed = time.perf_counter() - t0
 
-    mols = reps * batch
-    mol_per_sec = mols / elapsed
+    mol_per_sec = total / elapsed
     # Normalize to the canonical T=1000 protocol if steps were reduced.
     mol_per_sec_1000 = mol_per_sec * (steps / 1000.0)
     print(
-        f"# sampled {mols} molecules (T={steps}) in {elapsed:.1f}s on "
-        f"{jax.devices()[0].device_kind}",
+        f"# sampled {total} molecules (T={steps}, dtype={dtype_name}, "
+        f"buckets={buckets}) in {elapsed:.1f}s on {jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
     result = {

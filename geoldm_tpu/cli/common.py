@@ -72,6 +72,8 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--normalize_factors", type=eval, default=[1, 4, 10])
     p.add_argument("--include_charges", type=eval, default=True)
     p.add_argument("--visualize_every_batch", type=int, default=int(1e8))
+    p.add_argument("--visualize", type=eval, default=False,
+                   help="save a molecule grid + chain gif at every test epoch")
     p.add_argument("--normalization_factor", type=float, default=d["normalization_factor"])
     p.add_argument("--aggregation_method", type=str, default="sum")
     p.add_argument("--compute_dtype", type=str, default="float32",
@@ -239,7 +241,10 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     for epoch in range(args.start_epoch, args.n_epochs):
         if args.trace:
             jax.profiler.start_trace(args.trace)
-        key, epoch_key = jax.random.split(key)
+        # Per-epoch keys are derived from (seed, epoch) so --resume
+        # --start_epoch k reproduces the exact RNG stream of an uninterrupted
+        # run (the reference restores neither RNG nor EMA on resume).
+        epoch_key = jax.random.fold_in(jax.random.key(args.seed), epoch)
         state, mean_loss = trainer_mod.train_epoch(
             state, train_step, loaders["train"], nodes_dist, epoch_key, epoch,
             conditioning=args.conditioning, property_norms=property_norms,
@@ -263,6 +268,35 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                 )
                 print(f"epoch {epoch} stability: {validity}")
                 logger.log(validity, step=epoch)
+                if args.visualize:
+                    # reference: train_test.py:152-174 (periodic chain +
+                    # size-grid visualization during training).
+                    from geoldm_tpu.evalsuite import visualizer as viz
+                    from geoldm_tpu.train import sampling as sampling_mod
+
+                    key, c_key, g_key = jax.random.split(key, 3)
+                    epoch_dir = os.path.join(outdir, f"epoch_{epoch}")
+                    ch_oh, ch_ch, ch_x = sampling_mod.sample_chain(
+                        model_cfg, eval_params, c_key, dataset_info,
+                        n_tries=1, prop_dist=prop_dist, rng=rng,
+                        compute_dtype=args.compute_dtype,
+                    )
+                    viz.save_chain(
+                        os.path.join(epoch_dir, "chain"), ch_oh, ch_ch, ch_x,
+                        dataset_info,
+                    )
+                    viz.visualize_chain(os.path.join(epoch_dir, "chain"), dataset_info)
+                    nodesxsample = nodes_dist.sample(9, rng)
+                    oh, ch, xs, nm = sampling_mod.sample(
+                        model_cfg, eval_params, g_key, dataset_info, nodesxsample,
+                        prop_dist=prop_dist, pad_nodes=pad_nodes,
+                        compute_dtype=args.compute_dtype, rng=rng,
+                    )
+                    viz.save_xyz_file(
+                        os.path.join(epoch_dir, "molecules"), oh, ch, xs,
+                        dataset_info, node_mask=nm,
+                    )
+                    viz.visualize(os.path.join(epoch_dir, "molecules"), dataset_info)
             key, v_key = jax.random.split(key)
             nll_val = trainer_mod.evaluate_nll(
                 eval_params, eval_nll, loaders["valid"], nodes_dist, v_key,

@@ -44,14 +44,19 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _matmul(a, w, compute_dtype):
+def _matmul(a, w, compute_dtype, out_dtype=None):
     if compute_dtype is not None:
         a = a.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    return jax.lax.dot_general(
+    out = jax.lax.dot_general(
         a, w, (((a.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32,  # MXU accumulates f32
     )
+    # Mosaic requires f32 matmul results; cast afterwards when the edge
+    # pipeline runs in bf16.
+    if out_dtype is not None and out.dtype != out_dtype:
+        out = out.astype(out_dtype)
+    return out
 
 
 def _sin_features(radial):
@@ -130,26 +135,39 @@ def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype, group: int):
         eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [G, N, N, E]
         eattr2 = eattr.reshape(g_ * n * n, e_feat)
 
+        # NOTE: running the edge pipeline in bf16 (halved VMEM + VPU work)
+        # currently trips Mosaic verification errors on bf16 broadcasts /
+        # matmul outputs in this toolchain, and measurements show the kernel
+        # is not MXU-bound, so bf16 here is limited to matmul operand
+        # casting (edge activations stay f32).
+        edge_dtype = None
+
         def edge_pre(h_, w1, b1):
             """First edge-MLP layer without materializing [h_i, h_j] concat."""
             w_src = w1[:hidden]
             w_dst = w1[hidden : 2 * hidden]
             w_e = w1[2 * hidden :]
             h2 = h_.reshape(g_ * n, hidden)
-            src = _matmul(h2, w_src, compute_dtype).reshape(g_, n, hidden)
-            dst = _matmul(h2, w_dst, compute_dtype).reshape(g_, n, hidden)
+            src = _matmul(h2, w_src, compute_dtype, edge_dtype).reshape(g_, n, hidden)
+            dst = _matmul(h2, w_dst, compute_dtype, edge_dtype).reshape(g_, n, hidden)
             pre = src[:, :, None, :] + dst[:, None, :, :]  # [G, N, N, H]
             pre = pre.reshape(g_ * n * n, hidden) + _matmul(
-                eattr2, w_e, compute_dtype
+                eattr2, w_e, compute_dtype, edge_dtype
             )
-            return pre + b1
+            b1_ = b1.astype(pre.dtype) if edge_dtype is not None else b1
+            return pre + b1_
+
+        def cast_b(b_, like):
+            return b_.astype(like.dtype) if edge_dtype is not None else b_
 
         for g in gcl_ws:
             pre = edge_pre(h, g["w1"][:], g["b1"][:])
-            m = _silu(_matmul(_silu(pre), g["w2"][:], compute_dtype) + g["b2"][:])
+            mm = _matmul(_silu(pre), g["w2"][:], compute_dtype, edge_dtype)
+            m = _silu(mm + cast_b(g["b2"][:], mm))
             if attention:
-                m = m * jax.nn.sigmoid(_matmul(m, g["wa"][:], compute_dtype) + g["ba"][:])
-            m = m.reshape(g_, n, n, hidden) * edge_mask
+                am = _matmul(m, g["wa"][:], compute_dtype, edge_dtype)
+                m = m * jax.nn.sigmoid(am + cast_b(g["ba"][:], am))
+            m = m.astype(jnp.float32).reshape(g_, n, n, hidden) * edge_mask
             agg = jnp.sum(m, axis=2)  # [G, N, H]
             if cfg.aggregation_method == "sum":
                 agg = agg / cfg.normalization_factor
@@ -164,8 +182,9 @@ def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype, group: int):
 
         # Equivariant coordinate update.
         pre = edge_pre(h, cw["w1"][:], cw["b1"][:])
-        mid = _silu(_matmul(_silu(pre), cw["w2"][:], compute_dtype) + cw["b2"][:])
-        s = _matmul(mid, cw["w3"][:], compute_dtype)  # [G*N*N, 1]
+        mm = _matmul(_silu(pre), cw["w2"][:], compute_dtype, edge_dtype)
+        mid = _silu(mm + cast_b(cw["b2"][:], mm))
+        s = _matmul(mid, cw["w3"][:], compute_dtype).astype(jnp.float32)  # [G*N*N, 1]
         if cfg.tanh:
             s = jnp.tanh(s) * cfg.coords_range_layer
         trans = coord_diff * s.reshape(g_, n, n, 1) * edge_mask
@@ -197,12 +216,12 @@ def _block_weight_list(block_params: dict, attention: bool):
     return ws
 
 
-def _auto_group(b: int, n: int, hidden: int) -> int:
-    """Largest group size <= 8 dividing b whose [G*N*N, H] f32 pair buffers
-    stay within a conservative VMEM budget."""
+def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
+    """Largest group size <= 8 dividing b whose [G*N*N, H] pair buffers stay
+    within a conservative VMEM budget."""
     budget = 8 * 1024 * 1024  # bytes for ~2 live pair buffers
     for g in (8, 4, 2, 1):
-        if b % g == 0 and 2 * g * n * n * hidden * 4 <= budget:
+        if b % g == 0 and 2 * g * n * n * hidden * itemsize <= budget:
             return g
     return 1
 
@@ -231,7 +250,8 @@ def _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
                           compute_dtype, interpret, group=None):
     b, n, hidden = h.shape
     weights = _block_weight_list(block_params, cfg.attention)
-    g = group or _auto_group(b, n, hidden)
+    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
+    g = group or _auto_group(b, n, hidden, itemsize)
     assert b % g == 0, f"batch {b} not divisible by group {g}"
 
     def batch_spec(shape):

@@ -97,6 +97,86 @@ def sample(
     )
 
 
+DEFAULT_SAMPLE_BUCKETS = (16, 24, 32)
+
+
+def sample_bucketed(
+    model_cfg: ModelConfig,
+    params,
+    key,
+    dataset_info,
+    nodesxsample: np.ndarray,
+    batch_size: int = 128,
+    buckets=DEFAULT_SAMPLE_BUCKETS,
+    prop_dist=None,
+    fix_noise: bool = False,
+    compute_dtype: Optional[str] = None,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Size-bucketed generation: molecules are grouped by atom count and each
+    group is padded only to its bucket boundary, cutting the O(N^2) edge work
+    on the (dominant) small molecules. QM9's size distribution makes this
+    ~2x faster than padding everything to max_n_nodes.
+
+    Only a few (bucket, batch_size) shapes ever compile: each bucket is
+    processed in fixed-size chunks, the last chunk padded by repeating sizes
+    and trimmed afterwards. Returns arrays padded to the largest bucket, in
+    the original molecule order.
+    """
+    nodesxsample = np.asarray(nodesxsample)
+    max_pad = max(min(int(b), dataset_info["max_n_nodes"]) for b in buckets)
+    max_pad = max(max_pad, int(nodesxsample.max()))
+    buckets = tuple(sorted(set(min(int(b), max_pad) for b in buckets)))
+    if buckets[-1] < max_pad:
+        buckets = buckets + (max_pad,)
+
+    m = len(nodesxsample)
+    results = {}
+    for pad in buckets:
+        lo = 0 if pad == buckets[0] else buckets[buckets.index(pad) - 1]
+        idxs = np.where((nodesxsample > lo) & (nodesxsample <= pad))[0]
+        if len(idxs) == 0:
+            continue
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            sizes = nodesxsample[chunk]
+            n_real = len(sizes)
+            if n_real < batch_size:
+                # Pad the remainder chunk up to the next power of two (not
+                # the full batch) — bounds padding waste at <2x on the last
+                # chunk while keeping the set of compiled shapes small.
+                bsz = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+                sizes = np.concatenate(
+                    [sizes, np.full(bsz - n_real, sizes[-1], dtype=sizes.dtype)]
+                )
+            key, sub = jax.random.split(key)
+            one_hot, charges, x, node_mask = sample(
+                model_cfg, params, sub, dataset_info, sizes, prop_dist=prop_dist,
+                fix_noise=fix_noise, pad_nodes=pad, compute_dtype=compute_dtype,
+                rng=rng,
+            )
+            for j, orig in enumerate(chunk):
+                results[int(orig)] = (
+                    one_hot[j], charges[j], x[j], node_mask[j]
+                )
+
+    # Re-assemble in original order, padded to the largest bucket.
+    s = len(dataset_info["atom_decoder"])
+    inc = results[0][1].shape[-1]
+    one_hot = np.zeros((m, max_pad, s), dtype=np.float32)
+    charges = np.zeros((m, max_pad, inc), dtype=np.float32)
+    x = np.zeros((m, max_pad, 3), dtype=np.float32)
+    node_mask = np.zeros((m, max_pad, 1), dtype=np.float32)
+    for i in range(m):
+        oh, ch, xx, nm = results[i]
+        p = oh.shape[0]
+        one_hot[i, :p] = oh
+        charges[i, :p] = ch
+        x[i, :p] = xx
+        node_mask[i, :p] = nm
+    return one_hot, charges, x, node_mask
+
+
 def sample_chain(
     model_cfg: ModelConfig,
     params,

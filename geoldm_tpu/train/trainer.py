@@ -156,19 +156,17 @@ def analyze_and_save(
     reference: train_test.py:176-197, eval_analyze.py:35-67."""
     rng = rng or np.random.default_rng(0)
     batch_size = min(batch_size, n_samples)
-    molecules = {"one_hot": [], "x": [], "node_mask": []}
-    for _ in range(n_samples // batch_size):
-        nodesxsample = nodes_dist.sample(batch_size, rng)
-        key, sub = jax.random.split(key)
-        one_hot, charges, x, node_mask = sampling_mod.sample(
-            model_cfg, params, sub, dataset_info, nodesxsample,
-            prop_dist=prop_dist, pad_nodes=pad_nodes, compute_dtype=compute_dtype,
-            rng=rng,
-        )
-        molecules["one_hot"].append(one_hot)
-        molecules["x"].append(x)
-        molecules["node_mask"].append(node_mask[..., 0])
-    molecules = {k: np.concatenate(v) for k, v in molecules.items()}
+    nodesxsample = nodes_dist.sample(n_samples, rng)
+    # Size-bucketed generation: small molecules are padded only to their
+    # bucket boundary, cutting the O(N^2) edge work (~2x on QM9).
+    max_n = pad_nodes or dataset_info["max_n_nodes"]
+    buckets = tuple(b for b in sampling_mod.DEFAULT_SAMPLE_BUCKETS if b < max_n) + (max_n,)
+    one_hot, charges, x, node_mask = sampling_mod.sample_bucketed(
+        model_cfg, params, key, dataset_info, nodesxsample,
+        batch_size=batch_size, buckets=buckets, prop_dist=prop_dist,
+        compute_dtype=compute_dtype, rng=rng,
+    )
+    molecules = {"one_hot": one_hot, "x": x, "node_mask": node_mask[..., 0]}
     validity_dict, rdkit_tuple = analyze_stability_for_molecules(
         molecules, dataset_info
     )

@@ -3,8 +3,9 @@
 Replaces the reference's torch.save(state_dict) + pickled argparse args
 (utils.py:20-26, main_qm9.py:283-298 best-checkpoint saves, :147-171
 resume-overrides-CLI). Improvements the reference lacks: optimizer state,
-EMA params, RNG key and step counter are all checkpointed, so resume is
-bit-exact; the config is JSON next to the weights.
+EMA params and the step counter are all checkpointed (training RNG is
+derived deterministically from (seed, epoch), so resume reproduces the
+stream); the config is JSON next to the weights.
 """
 
 from __future__ import annotations

@@ -153,3 +153,22 @@ def test_visualizer_render_and_gif(tmp_path):
     assert gif is not None and os.path.exists(gif)
     pngs = viz.visualize(str(chain_dir), INFO, max_num=2)
     assert all(os.path.exists(p) for p in pngs)
+
+
+def test_sample_bucketed():
+    cfg = tiny_cfg_bucketed = tiny_cfg()
+    params = factory.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    nodesxsample = np.array([5, 12, 20, 7, 15, 25, 3, 9, 18])
+    one_hot, charges, x, node_mask = S.sample_bucketed(
+        cfg, params, jax.random.key(1), INFO, nodesxsample, batch_size=4,
+        buckets=(8, 16, 29), rng=rng,
+    )
+    assert x.shape == (9, 29, 3)
+    # Requested sizes preserved in original order.
+    np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
+    # Masked + CoM-centered per molecule.
+    assert np.abs(x * (1 - node_mask)).max() == 0.0
+    np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-4)
+    # One-hot valid on real nodes.
+    np.testing.assert_allclose(one_hot.sum(-1) * node_mask[..., 0], node_mask[..., 0])
