@@ -49,6 +49,9 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--attention", type=eval, default=True)
     p.add_argument("--norm_constant", type=float, default=1.0)
     p.add_argument("--sin_embedding", type=eval, default=False)
+    p.add_argument("--remat", type=eval, default=None,
+                   help="rematerialize EGNN blocks in backward (default: on "
+                        "for GEOM, off for QM9)")
     p.add_argument("--ode_regularization", type=float, default=1e-3)
     p.add_argument("--trainable_ae", action="store_true")
     p.add_argument("--latent_nf", type=int, default=d["latent_nf"])
@@ -89,8 +92,10 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
 def build_model_config(args, dataset_info):
     from geoldm_tpu.models import factory
 
+    remat = args.remat if args.remat is not None else ("geom" in args.dataset)
     common = dict(
         include_charges=args.include_charges,
+        remat=remat,
         context_node_nf=len(args.conditioning),
         nf=args.nf,
         n_layers=args.n_layers,

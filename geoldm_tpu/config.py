@@ -40,6 +40,10 @@ class EGNNConfig:
     sin_embedding: bool = False
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"  # 'sum' (divide by normalization_factor) | 'mean'
+    # Rematerialize each EquivariantBlock in the backward pass (trade one
+    # extra forward for not storing the [B,N,N,H] edge activations of every
+    # block — required for GEOM-scale molecules, N up to 181).
+    remat: bool = False
 
     @property
     def coords_range_layer(self) -> float:

@@ -39,6 +39,7 @@ def _egnn_cfg(
     sin_embedding: bool = False,
     normalization_factor: float = 1.0,
     aggregation_method: str = "sum",
+    remat: bool = False,
 ) -> EGNNConfig:
     return EGNNConfig(
         in_node_nf=in_node_nf,
@@ -53,6 +54,7 @@ def _egnn_cfg(
         sin_embedding=sin_embedding,
         normalization_factor=normalization_factor,
         aggregation_method=aggregation_method,
+        remat=remat,
     )
 
 
@@ -71,6 +73,7 @@ def make_diffusion_model_config(
     sin_embedding: bool = False,
     normalization_factor: float = 1.0,
     aggregation_method: str = "sum",
+    remat: bool = False,
     diffusion_steps: int = 1000,
     noise_schedule: str = "polynomial_2",
     noise_precision: float = 1e-5,
@@ -96,6 +99,7 @@ def make_diffusion_model_config(
         sin_embedding=sin_embedding,
         normalization_factor=normalization_factor,
         aggregation_method=aggregation_method,
+        remat=remat,
     )
     dynamics = DynamicsConfig(
         in_node_nf=in_node_nf,
@@ -134,6 +138,7 @@ def make_vae_config(
     sin_embedding: bool = False,
     normalization_factor: float = 1.0,
     aggregation_method: str = "sum",
+    remat: bool = False,
 ) -> ModelConfig:
     """First-stage VAE. The encoder always has n_layers=1
     (reference: qm9/models.py:69-77); the decoder uses the full depth."""
@@ -146,6 +151,7 @@ def make_vae_config(
         sin_embedding=sin_embedding,
         normalization_factor=normalization_factor,
         aggregation_method=aggregation_method,
+        remat=remat,
     )
     encoder_egnn = _egnn_cfg(
         in_node_nf + context_node_nf, nf, nf, 1, **common
@@ -184,6 +190,7 @@ def make_latent_diffusion_config(
     sin_embedding: bool = False,
     normalization_factor: float = 1.0,
     aggregation_method: str = "sum",
+    remat: bool = False,
     diffusion_steps: int = 1000,
     noise_schedule: str = "polynomial_2",
     noise_precision: float = 1e-5,
@@ -211,6 +218,7 @@ def make_latent_diffusion_config(
         sin_embedding=sin_embedding,
         normalization_factor=normalization_factor,
         aggregation_method=aggregation_method,
+        remat=remat,
     )
     dyn_in = latent_nf + int(condition_time)
     extra = 3 if model == "gnn_dynamics" else 0
@@ -226,6 +234,7 @@ def make_latent_diffusion_config(
         sin_embedding=sin_embedding,
         normalization_factor=normalization_factor,
         aggregation_method=aggregation_method,
+        remat=remat,
     )
     dynamics = DynamicsConfig(
         in_node_nf=latent_nf,

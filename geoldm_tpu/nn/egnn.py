@@ -252,6 +252,8 @@ def egnn_apply(
             )
             return (h, x), None
 
+        if cfg.remat:
+            body = jax.checkpoint(body)
         (h, x), _ = jax.lax.scan(body, (h, x), params["blocks"])
 
     h = linear(params["embedding_out"], h, compute_dtype)
