@@ -64,16 +64,14 @@ def main() -> None:
             buckets=buckets, compute_dtype=dtype_name, rng=rng,
         )
 
-    # Warmup: compile each (bucket, batch) shape once with one full chunk
-    # per bucket (the timed run then reuses the compiled executables).
-    warm_sizes = np.concatenate([np.full(batch, b - 1) for b in buckets])
-    t0 = time.perf_counter()
-    generate(jax.random.key(1), warm_sizes)
-    compile_time = time.perf_counter() - t0
-    print(f"# compile+warmup ({len(buckets)} shapes): {compile_time:.1f}s",
-          file=sys.stderr)
-
+    # Warmup with the exact workload (compiles every (chunk, bucket) shape
+    # the timed run will use); the timed run then reuses the executables.
     nodesxsample = nodes_dist.sample(total, rng)
+    t0 = time.perf_counter()
+    generate(jax.random.key(1), nodesxsample)
+    compile_time = time.perf_counter() - t0
+    print(f"# compile+warmup: {compile_time:.1f}s", file=sys.stderr)
+
     t0 = time.perf_counter()
     out = generate(jax.random.key(2), nodesxsample)
     jax.block_until_ready(out[0])

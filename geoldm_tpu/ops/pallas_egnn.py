@@ -217,11 +217,17 @@ def _block_weight_list(block_params: dict, attention: bool):
 
 
 def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
-    """Largest group size <= 8 dividing b whose [G*N*N, H] pair buffers stay
-    within a conservative VMEM budget."""
-    budget = 8 * 1024 * 1024  # bytes for ~2 live pair buffers
+    """Largest group size <= 8 dividing b whose live [G*N*N, H] pair buffers
+    stay within the ~16MB VMEM budget.
+
+    Calibrated on v5e: ~3 such buffers live simultaneously for aligned N;
+    unaligned N (not a multiple of 8) forces relayout copies around the
+    [G*N*N, H] reshapes, roughly doubling the live set."""
+    budget = 14 * 1024 * 1024
+    padded_n = -(-n // 8) * 8
+    live = 3 if n % 8 == 0 else 8
     for g in (8, 4, 2, 1):
-        if b % g == 0 and 2 * g * n * n * hidden * itemsize <= budget:
+        if b % g == 0 and live * g * padded_n * padded_n * hidden * itemsize <= budget:
             return g
     return 1
 

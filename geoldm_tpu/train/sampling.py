@@ -124,11 +124,15 @@ def sample_bucketed(
     the original molecule order.
     """
     nodesxsample = np.asarray(nodesxsample)
-    max_pad = max(min(int(b), dataset_info["max_n_nodes"]) for b in buckets)
-    max_pad = max(max_pad, int(nodesxsample.max()))
-    buckets = tuple(sorted(set(min(int(b), max_pad) for b in buckets)))
-    if buckets[-1] < max_pad:
-        buckets = buckets + (max_pad,)
+    # Bucket boundaries are rounded up to multiples of 8 (TPU sublane
+    # alignment): unaligned N makes the kernel's [G*N*N, H] reshapes
+    # layout-violating relayouts that blow up VMEM. Padding beyond the
+    # dataset max is harmless — masks carry the real size.
+    buckets = tuple(sorted(set(-(-int(b) // 8) * 8 for b in buckets)))
+    need = -(-int(nodesxsample.max()) // 8) * 8
+    if buckets[-1] < need:
+        buckets = buckets + (need,)
+    max_pad = buckets[-1]
 
     m = len(nodesxsample)
     results = {}
@@ -146,6 +150,7 @@ def sample_bucketed(
                 # the full batch) — bounds padding waste at <2x on the last
                 # chunk while keeping the set of compiled shapes small.
                 bsz = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+                bsz = min(bsz, batch_size)
                 sizes = np.concatenate(
                     [sizes, np.full(bsz - n_real, sizes[-1], dtype=sizes.dtype)]
                 )
