@@ -164,7 +164,8 @@ def test_sample_bucketed():
         cfg, params, jax.random.key(1), INFO, nodesxsample, batch_size=4,
         buckets=(8, 16, 29), rng=rng,
     )
-    assert x.shape == (9, 29, 3)
+    # Buckets round up to multiples of 8 (29 -> 32).
+    assert x.shape == (9, 32, 3)
     # Requested sizes preserved in original order.
     np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
     # Masked + CoM-centered per molecule.
