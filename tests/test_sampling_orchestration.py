@@ -170,6 +170,6 @@ def test_sample_bucketed():
     np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
     # Masked + CoM-centered per molecule.
     assert np.abs(x * (1 - node_mask)).max() == 0.0
-    np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-3)
     # One-hot valid on real nodes.
     np.testing.assert_allclose(one_hot.sum(-1) * node_mask[..., 0], node_mask[..., 0])
