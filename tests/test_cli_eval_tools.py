@@ -1,0 +1,100 @@
+"""Smoke tests for the eval/visualization/classifier CLIs on tiny models
+and fabricated data."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from geoldm_tpu.data.datasets_config import get_dataset_info
+from geoldm_tpu.models import factory
+from geoldm_tpu.utils import checkpoint as ckpt
+
+INFO = get_dataset_info("qm9")
+
+
+def _fake_qm9(tmp_path, n_mols=48, n_max=9, seed=0):
+    rng = np.random.default_rng(seed)
+    for split, m in [("train", n_mols), ("valid", 16), ("test", 16)]:
+        num_atoms = rng.integers(4, n_max + 1, size=m)
+        charges = np.zeros((m, n_max), dtype=np.int64)
+        positions = np.zeros((m, n_max, 3), dtype=np.float32)
+        for i, n in enumerate(num_atoms):
+            charges[i, :n] = rng.choice([1, 6, 7, 8, 9], size=n)
+            positions[i, :n] = rng.standard_normal((n, 3))
+        d = {
+            "num_atoms": num_atoms,
+            "charges": charges,
+            "positions": positions,
+            "alpha": rng.standard_normal(m) * 8 + 75,
+        }
+        path = tmp_path / "qm9" / f"{split}.npz"
+        os.makedirs(path.parent, exist_ok=True)
+        np.savez_compressed(path, **d)
+
+
+def _fake_generator_ckpt(tmp_path, context_node_nf=0):
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6,
+        context_node_nf=context_node_nf,
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "gen")
+    ckpt.save_checkpoint(path, {"params": params, "ema_params": params}, cfg,
+                         name="best")
+    return path
+
+
+def _fake_classifier_ckpt(tmp_path, nf=16, n_layers=2):
+    from geoldm_tpu.models import classifier as clf
+
+    params = clf.classifier_init(jax.random.key(0), 5, nf, n_layers, True, False)
+    path = str(tmp_path / "cls")
+    ckpt.save_checkpoint(path, params, name="best")
+    return path
+
+
+def test_eval_sample_cli(tmp_path):
+    from geoldm_tpu.cli import eval_sample
+
+    gen = _fake_generator_ckpt(tmp_path)
+    out = str(tmp_path / "viz")
+    eval_sample.main([
+        "--model_path", gen, "--outdir", out,
+        "--n_samples", "4", "--n_stable", "1", "--n_chains", "1",
+        "--keep_frames", "3", "--n_tries", "1",
+    ])
+    assert os.path.isdir(os.path.join(out, "molecules"))
+    assert any(f.endswith(".gif") for f in os.listdir(os.path.join(out, "chain_0")))
+
+
+def test_eval_conditional_cli_tasks(tmp_path, monkeypatch):
+    from geoldm_tpu.cli import eval_conditional_qm9
+    from geoldm_tpu.data import qm9 as qm9_mod
+
+    _fake_qm9(tmp_path)
+    gen = _fake_generator_ckpt(tmp_path, context_node_nf=1)
+    cls = _fake_classifier_ckpt(tmp_path)
+
+    base = [
+        "--generators_path", gen, "--classifiers_path", cls,
+        "--property", "alpha", "--iterations", "1", "--batch_size", "4",
+        "--datadir", str(tmp_path), "--classifier_nf", "16",
+        "--classifier_layers", "2", "--debug_break",
+    ]
+    eval_conditional_qm9.main(base + ["--task", "qm9"])
+    eval_conditional_qm9.main(base + ["--task", "naive"])
+    eval_conditional_qm9.main(base + ["--task", "edm"])
+
+
+def test_main_qm9_prop_cli(tmp_path):
+    from geoldm_tpu.cli import main_qm9_prop
+
+    _fake_qm9(tmp_path, n_mols=32)
+    main_qm9_prop.main([
+        "--datadir", str(tmp_path), "--epochs", "1", "--batch_size", "8",
+        "--nf", "16", "--n_layers", "1", "--property", "alpha",
+        "--outf", str(tmp_path / "out"), "--exp_name", "cls_smoke",
+    ])
+    assert os.path.exists(tmp_path / "out" / "cls_smoke" / "losess.json")
