@@ -9,7 +9,7 @@ product with the diagonal removed (reference: collate.py:89-97).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

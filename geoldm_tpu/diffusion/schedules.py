@@ -14,8 +14,6 @@ float32 — the sampler's numerical parity depends on it.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

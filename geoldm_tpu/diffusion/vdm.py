@@ -24,7 +24,6 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from geoldm_tpu.config import DiffusionConfig, DynamicsConfig
 from geoldm_tpu.diffusion import schedules as S

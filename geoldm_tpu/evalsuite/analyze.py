@@ -9,7 +9,7 @@ mirror qm9/analyze.py:24-153.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

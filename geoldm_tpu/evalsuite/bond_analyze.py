@@ -15,7 +15,7 @@ computation a sum of three threshold tests.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Sequence, Union
+from typing import Sequence
 
 import numpy as np
 

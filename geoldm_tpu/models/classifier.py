@@ -17,8 +17,6 @@ included (reference: models_property.py:133-160).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

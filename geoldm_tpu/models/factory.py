@@ -8,7 +8,7 @@ and initialize the parameter pytree.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 

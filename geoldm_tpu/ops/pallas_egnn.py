@@ -26,7 +26,6 @@ forward-parity-tested against the reference egnn/egnn_new.py:108-147).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -35,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from geoldm_tpu.config import EGNNConfig
-from geoldm_tpu.ops.distance import SIN_EMBEDDING_DIM, _FREQUENCIES
+from geoldm_tpu.ops.distance import _FREQUENCIES
 
 Array = jax.Array
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -15,8 +15,7 @@ Batches are dicts of arrays:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -20,11 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from geoldm_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
+from geoldm_tpu.config import ModelConfig
 from geoldm_tpu.data.datasets_config import DatasetInfo
 from geoldm_tpu.evalsuite.analyze import analyze_stability_for_molecules
 from geoldm_tpu.models.distributions import DistributionNodes
-from geoldm_tpu.ops import com as com_np  # noqa: F401  (re-export convenience)
 from geoldm_tpu.train import sampling as sampling_mod
 from geoldm_tpu.train.augment import random_rotation
 from geoldm_tpu.train.conditioning import prepare_context

@@ -11,7 +11,7 @@ stream); the config is JSON next to the weights.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
