@@ -222,11 +222,17 @@ def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
     Calibrated on v5e: ~3 such buffers live simultaneously for aligned N;
     unaligned N (not a multiple of 8) forces relayout copies around the
     [G*N*N, H] reshapes, roughly doubling the live set."""
-    budget = 14 * 1024 * 1024
+    # Calibrated on v5e at hidden=256: g*N^2 = 4096 pair rows fit the 16MB
+    # scoped VMEM (g=4, N=32 compiles; g=8, N=24 -> 4608 rows OOMs at
+    # 17.75M). Unaligned N additionally forces relayout copies — halve.
     padded_n = -(-n // 8) * 8
-    live = 3 if n % 8 == 0 else 8
+    max_rows = 4096 * 4 // itemsize
+    if hidden > 256:
+        max_rows = max_rows * 256 // hidden
+    if n % 8 != 0:
+        max_rows //= 2
     for g in (8, 4, 2, 1):
-        if b % g == 0 and live * g * padded_n * padded_n * hidden * itemsize <= budget:
+        if b % g == 0 and g * padded_n * padded_n <= max_rows:
             return g
     return 1
 
