@@ -69,18 +69,34 @@ def analyze_stability_for_molecules(
 
     molecule_list: dict with 'x' [M,N,3], 'one_hot' [M,N,S],
     'node_mask' [M,N] or [M,N,1]. reference: qm9/analyze.py:323-371."""
-    processed = molecules_from_padded(
-        molecule_list["x"], molecule_list["one_hot"], molecule_list["node_mask"]
-    )
-    n_samples = len(processed)
-    molecule_stable = 0
-    nr_stable_bonds = 0
-    n_atoms = 0
-    for pos, types in processed:
-        stable, stable_bonds, total = check_stability(pos, types, dataset_info)
-        molecule_stable += int(stable)
-        nr_stable_bonds += stable_bonds
-        n_atoms += total
+    x = np.asarray(molecule_list["x"])
+    one_hot = np.asarray(molecule_list["one_hot"])
+    node_mask = np.asarray(molecule_list["node_mask"]).reshape(len(x), -1)
+    n_samples = len(x)
+
+    from geoldm_tpu.evalsuite import native
+
+    if native.available():
+        # Native C++ batch path (native/stability.cpp).
+        types = np.argmax(one_hot, axis=-1)
+        n_atoms_arr = node_mask.sum(axis=1).astype(np.int32)
+        stable_atoms, total_atoms, mol_stable = native.check_stability_batch(
+            x, types, n_atoms_arr, dataset_info
+        )
+        molecule_stable = int(mol_stable.sum())
+        nr_stable_bonds = int(stable_atoms.sum())
+        n_atoms = int(total_atoms.sum())
+        processed = None
+    else:
+        processed = molecules_from_padded(x, one_hot, node_mask)
+        molecule_stable = 0
+        nr_stable_bonds = 0
+        n_atoms = 0
+        for pos, types in processed:
+            stable, stable_bonds, total = check_stability(pos, types, dataset_info)
+            molecule_stable += int(stable)
+            nr_stable_bonds += stable_bonds
+            n_atoms += total
 
     validity_dict = {
         "mol_stable": molecule_stable / float(max(n_samples, 1)),
@@ -94,6 +110,8 @@ def analyze_stability_for_molecules(
     if use_rdkit:
         from geoldm_tpu.evalsuite.rdkit_metrics import BasicMolecularMetrics
 
+        if processed is None:
+            processed = molecules_from_padded(x, one_hot, node_mask)
         metrics = BasicMolecularMetrics(dataset_info)
         return validity_dict, metrics.evaluate(processed)
     return validity_dict, None

@@ -130,3 +130,57 @@ def test_check_stability_parity_with_reference():
         assert ours[0] == bool(theirs[0])
         assert ours[1] == int(theirs[1])
         assert ours[2] == int(theirs[2])
+
+
+def test_native_stability_matches_numpy():
+    """The C++ batch analyzer agrees with the numpy path on random batches."""
+    from geoldm_tpu.evalsuite import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    m, n_max = 40, 15
+    x = np.zeros((m, n_max, 3), dtype=np.float32)
+    types = np.zeros((m, n_max), dtype=np.int64)
+    n_atoms = rng.integers(3, n_max + 1, size=m).astype(np.int32)
+    for i, n in enumerate(n_atoms):
+        x[i, :n] = rng.standard_normal((n, 3)) * 1.1
+        types[i, :n] = rng.integers(0, 5, size=n)
+    stable_atoms, total_atoms, mol_stable = native.check_stability_batch(
+        x, types, n_atoms, QM9
+    )
+    for i in range(m):
+        ref = an.check_stability(x[i, : n_atoms[i]], types[i, : n_atoms[i]], QM9)
+        assert bool(mol_stable[i]) == ref[0]
+        assert int(stable_atoms[i]) == ref[1]
+        assert int(total_atoms[i]) == ref[2]
+
+
+def test_analyze_uses_native_consistently():
+    """analyze_stability_for_molecules gives identical metrics with the
+    native path and the numpy path."""
+    from geoldm_tpu.evalsuite import native
+
+    rng = np.random.default_rng(4)
+    m, n_max = 25, 12
+    one_hot = np.eye(5, dtype=np.float32)[rng.integers(0, 5, (m, n_max))]
+    x = rng.standard_normal((m, n_max, 3)).astype(np.float32)
+    node_mask = np.zeros((m, n_max), dtype=np.float32)
+    for i in range(m):
+        node_mask[i, : rng.integers(3, n_max + 1)] = 1.0
+    x *= node_mask[..., None]
+    one_hot *= node_mask[..., None]
+    mols = {"x": x, "one_hot": one_hot, "node_mask": node_mask}
+
+    v_numpy, _ = an.analyze_stability_for_molecules(mols, QM9, use_rdkit=False)
+    if native.available():
+        # Force-disable native to get the numpy result, then compare.
+        lib = native._lib
+        try:
+            native._lib = None
+            native._build_failed = True
+            v_plain, _ = an.analyze_stability_for_molecules(mols, QM9, use_rdkit=False)
+        finally:
+            native._lib = lib
+            native._build_failed = False
+        assert v_numpy == v_plain
