@@ -91,7 +91,10 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
 def build_model_config(args, dataset_info):
     from geoldm_tpu.models import factory
 
-    remat = args.remat if args.remat is not None else ("geom" in args.dataset)
+    # Default remat ON: without it the flagship QM9 training config
+    # (bs 64, nf 256, 9+9 EGNN blocks) exceeds a single v5e's 16GB HBM in
+    # the backward pass (measured); remat stores only block boundaries.
+    remat = args.remat if args.remat is not None else True
     common = dict(
         include_charges=args.include_charges,
         remat=remat,
