@@ -63,10 +63,13 @@ def main(argv=None) -> None:
     jax.block_until_ready(metrics["loss"])
     print(f"# compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # Per-step sync: in tunneled environments async dispatch makes chained
+    # timing unreliable (measured 2-700ms/step depending on queue depth);
+    # fetching the loss each step gives a reproducible upper bound.
     t0 = time.perf_counter()
     for i in range(args.reps):
         state, metrics = step(state, batch, jax.random.key(2 + i))
-    jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = args.reps / elapsed
