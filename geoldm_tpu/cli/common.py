@@ -151,6 +151,13 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     from geoldm_tpu.utils.logging_utils import MetricLogger
 
     model_cfg = build_model_config(args, dataset_info)
+    if args.resume:
+        # The config travels with the checkpoint and wins over CLI flags on
+        # resume (the reference's pickled-args override, main_qm9.py:147-171).
+        resumed_cfg = ckpt.load_config(args.resume)
+        if resumed_cfg != model_cfg:
+            print("resume: using the checkpoint's model config (overrides CLI)")
+            model_cfg = resumed_cfg
     train_cfg = TrainConfig(
         lr=args.lr,
         n_epochs=args.n_epochs,
