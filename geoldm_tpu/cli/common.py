@@ -49,8 +49,8 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--norm_constant", type=float, default=1.0)
     p.add_argument("--sin_embedding", type=eval, default=False)
     p.add_argument("--remat", type=eval, default=None,
-                   help="rematerialize EGNN blocks in backward (default: on "
-                        "for GEOM, off for QM9)")
+                   help="rematerialize EGNN blocks in backward (default on; "
+                        "flagship configs OOM without it)")
     p.add_argument("--ode_regularization", type=float, default=1e-3)
     p.add_argument("--trainable_ae", action="store_true")
     p.add_argument("--latent_nf", type=int, default=d["latent_nf"])
