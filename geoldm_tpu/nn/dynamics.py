@@ -36,6 +36,18 @@ Array = jax.Array
 def _run_egnn(egnn_params, egnn_cfg, h, x, node_mask, edge_mask, compute_dtype):
     """Dispatch to the XLA graph or the fused Pallas kernel per ComputeSpec."""
     spec = resolve_compute(compute_dtype)
+    if spec.full and spec.dtype is not None:
+        # Whole-network low precision: cast params + activations once (the
+        # cast is loop-invariant under the sampler scan, XLA hoists it);
+        # outputs return to f32 for the schedule/CoM algebra.
+        assert spec.backend == "xla", "full-precision-cast mode is XLA-only"
+        dt = spec.dtype
+        egnn_params = jax.tree.map(lambda a: a.astype(dt), egnn_params)
+        hf, xf = egnn_apply(
+            egnn_params, egnn_cfg, h.astype(dt), x.astype(dt),
+            node_mask.astype(dt), edge_mask.astype(dt), None,
+        )
+        return hf.astype(jnp.float32), xf.astype(jnp.float32)
     if spec.backend == "pallas":
         from geoldm_tpu.ops.pallas_egnn import egnn_apply_pallas
 

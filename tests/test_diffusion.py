@@ -258,3 +258,26 @@ def test_config_roundtrip():
     s = C.dumps(cfg)
     cfg2 = C.loads(s)
     assert cfg == cfg2
+
+
+def test_bfloat16_full_sampling_mode():
+    """The whole-EGNN bf16 mode samples valid molecules close to the f32 path."""
+    cfg = tiny_model("latent_diffusion")
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask = jnp.ones((2, 8, 1))
+    edge_mask = build_edge_mask(node_mask)
+    from geoldm_tpu.nn.core import resolve_compute
+
+    x32, hc32, hi32 = ldm.ldm_sample(
+        params, cfg.diffusion, cfg.dynamics, cfg.vae, jax.random.key(3),
+        node_mask, edge_mask,
+    )
+    x16, hc16, hi16 = ldm.ldm_sample(
+        params, cfg.diffusion, cfg.dynamics, cfg.vae, jax.random.key(3),
+        node_mask, edge_mask, compute_dtype=resolve_compute("bfloat16_full"),
+    )
+    assert np.all(np.isfinite(np.asarray(x16)))
+    # Same RNG stream; bf16 perturbs trajectories but keeps them in range.
+    assert np.abs(np.asarray(x16)).max() < 10 * max(np.abs(np.asarray(x32)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(x16).sum(axis=1), 0.0, atol=1e-2)
+    assert np.all(np.isin(np.asarray(hc16), [0.0, 1.0]))
