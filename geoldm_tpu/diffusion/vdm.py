@@ -513,26 +513,48 @@ def vdm_sample(
     want_chain = keep_frames is not None
     n_frames = keep_frames if want_chain else 1
 
-    def step(z, inp):
-        s_idx, k = inp
-        s_arr = jnp.full((b, 1), s_idx, dtype=jnp.float32) / T
-        t_arr = jnp.full((b, 1), s_idx + 1, dtype=jnp.float32) / T
-        z = sample_p_zs_given_zt(
-            params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z, node_mask,
-            edge_mask, context, fix_noise, compute_dtype,
-        )
-        if want_chain:
-            frame = unnormalize_z(cfg, z, node_mask) if not latent_space else z
-            return z, frame
-        return z, None
+    def make_step(step_dtype):
+        def step(z, inp):
+            s_idx, k = inp
+            s_arr = jnp.full((b, 1), s_idx, dtype=jnp.float32) / T
+            t_arr = jnp.full((b, 1), s_idx + 1, dtype=jnp.float32) / T
+            z = sample_p_zs_given_zt(
+                params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z, node_mask,
+                edge_mask, context, fix_noise, step_dtype,
+            )
+            if want_chain:
+                frame = unnormalize_z(cfg, z, node_mask) if not latent_space else z
+                return z, frame
+            return z, None
+
+        return step
 
     s_indices = jnp.arange(T - 1, -1, -1)
     step_keys = jax.random.split(k_scan, T)
-    z, frames = jax.lax.scan(step, z, (s_indices, step_keys))
+
+    # Mixed-precision schedule: under a ``full`` low-precision ComputeSpec
+    # with mixed_tail > 0, the final fraction of steps (and the decode) run
+    # in f32 — the low-noise tail is where sub-1e-2 geometry matters.
+    from geoldm_tpu.nn.core import resolve_compute
+
+    spec = resolve_compute(compute_dtype)
+    tail = int(round(spec.mixed_tail * T)) if (spec.full and not want_chain) else 0
+    if tail > 0:
+        head = T - tail
+        z, frames = jax.lax.scan(
+            make_step(spec), z, (s_indices[:head], step_keys[:head])
+        )
+        z, frames_tail = jax.lax.scan(
+            make_step(None), z, (s_indices[head:], step_keys[head:])
+        )
+        compute_dtype_final = None
+    else:
+        z, frames = jax.lax.scan(make_step(compute_dtype), z, (s_indices, step_keys))
+        compute_dtype_final = compute_dtype
 
     x, h_cat, h_int = sample_p_xh_given_z0(
         params, cfg, dyn_cfg, gamma_fn, k_final, z, node_mask, edge_mask, context,
-        fix_noise, compute_dtype, latent_space,
+        fix_noise, compute_dtype_final, latent_space,
     )
 
     # Final CoM-drift guard (reference: en_diffusion.py:789-793): always

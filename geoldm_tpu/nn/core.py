@@ -41,6 +41,10 @@ class ComputeSpec(NamedTuple):
     dtype: Optional[object] = None
     backend: str = "xla"
     full: bool = False
+    # Fraction of FINAL sampler steps forced to f32 under ``full`` (the
+    # low-noise tail is where geometry crystallizes and precision matters
+    # most); 0 = all steps in the compute dtype.
+    mixed_tail: float = 0.0
 
 
 def resolve_compute(compute_dtype) -> ComputeSpec:
@@ -59,6 +63,8 @@ def resolve_compute(compute_dtype) -> ComputeSpec:
             return ComputeSpec(jnp.bfloat16, "pallas")
         if compute_dtype == "bfloat16_full":
             return ComputeSpec(jnp.bfloat16, "xla", True)
+        if compute_dtype == "bfloat16_mixed":
+            return ComputeSpec(jnp.bfloat16, "xla", True, 0.1)
         raise ValueError(compute_dtype)
     return ComputeSpec(compute_dtype, "xla")
 

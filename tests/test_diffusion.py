@@ -281,3 +281,18 @@ def test_bfloat16_full_sampling_mode():
     assert np.abs(np.asarray(x16)).max() < 10 * max(np.abs(np.asarray(x32)).max(), 1.0)
     np.testing.assert_allclose(np.asarray(x16).sum(axis=1), 0.0, atol=1e-2)
     assert np.all(np.isin(np.asarray(hc16), [0.0, 1.0]))
+
+
+def test_bfloat16_mixed_sampling_mode():
+    """Mixed-precision schedule (bf16 bulk + f32 tail) samples validly."""
+    cfg = tiny_model("latent_diffusion")
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask = jnp.ones((2, 8, 1))
+    edge_mask = build_edge_mask(node_mask)
+    x, hc, hi = ldm.ldm_sample(
+        params, cfg.diffusion, cfg.dynamics, cfg.vae, jax.random.key(3),
+        node_mask, edge_mask, compute_dtype="bfloat16_mixed",
+    )
+    assert np.all(np.isfinite(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-2)
+    assert np.all(np.isin(np.asarray(hc), [0.0, 1.0]))
