@@ -17,8 +17,10 @@ Env knobs:
   GEOLDM_BENCH_BATCH  per-bucket chunk size (default 250)
   GEOLDM_BENCH_STEPS  diffusion steps (default 1000; value is normalized
                       back to the T=1000 protocol)
-  GEOLDM_BENCH_DTYPE  float32|bfloat16|pallas|bfloat16_pallas
-                      (default pallas — fused block kernel, f32)
+  GEOLDM_BENCH_DTYPE  float32|bfloat16|pallas|bfloat16_pallas|
+                      bfloat16_full|bfloat16_mixed (default bfloat16_mixed:
+                      bf16 EGNN for 90% of steps, f32 for the final 10% +
+                      decode; schedule/CoM algebra always f32)
   GEOLDM_BENCH_FLAT   set to 1 to disable bucketing (pad everything to 32)
 """
 
@@ -45,7 +47,7 @@ def main() -> None:
     total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
     batch = int(os.environ.get("GEOLDM_BENCH_BATCH", "250"))
     steps = int(os.environ.get("GEOLDM_BENCH_STEPS", "1000"))
-    dtype_name = os.environ.get("GEOLDM_BENCH_DTYPE", "pallas")
+    dtype_name = os.environ.get("GEOLDM_BENCH_DTYPE", "bfloat16_mixed")
     flat = os.environ.get("GEOLDM_BENCH_FLAT", "0") == "1"
 
     info = get_dataset_info("qm9")
