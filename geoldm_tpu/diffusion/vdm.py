@@ -544,7 +544,7 @@ def vdm_sample(
         z, frames = jax.lax.scan(
             make_step(spec), z, (s_indices[:head], step_keys[:head])
         )
-        z, frames_tail = jax.lax.scan(
+        z, _ = jax.lax.scan(
             make_step(None), z, (s_indices[head:], step_keys[head:])
         )
         compute_dtype_final = None
