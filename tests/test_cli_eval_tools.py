@@ -98,3 +98,44 @@ def test_main_qm9_prop_cli(tmp_path):
         "--outf", str(tmp_path / "out"), "--exp_name", "cls_smoke",
     ])
     assert os.path.exists(tmp_path / "out" / "cls_smoke" / "losess.json")
+
+
+def test_check_data_cli(tmp_path, capsys):
+    from geoldm_tpu.cli import check_data
+
+    _fake_qm9(tmp_path)
+    check_data.main(["--datadir", str(tmp_path), "--split", "train"])
+    out = capsys.readouterr().out
+    assert "mol_stable" in out
+    assert "size histogram" in out
+
+
+def test_build_geom_dataset_cli(tmp_path):
+    msgpack = pytest.importorskip("msgpack")
+    from geoldm_tpu.cli import build_geom_dataset as bg
+
+    rng = np.random.default_rng(0)
+    drugs = {}
+    for i in range(3):
+        confs = []
+        for c in range(4):
+            n = int(rng.integers(4, 9))
+            xyz = np.hstack([
+                rng.choice([1.0, 6.0, 7.0, 8.0], size=(n, 1)),
+                rng.standard_normal((n, 3)),
+            ])
+            confs.append({"totalenergy": float(rng.standard_normal()),
+                          "xyz": xyz.tolist()})
+        drugs[f"SMILES_{i}"] = {"conformers": confs}
+    os.makedirs(tmp_path / "geom", exist_ok=True)
+    with open(tmp_path / "geom" / "drugs_crude.msgpack", "wb") as f:
+        f.write(msgpack.packb(drugs))
+
+    bg.main(["--data_dir", str(tmp_path / "geom"), "--conformations", "2"])
+    import numpy as _np
+
+    arr = _np.load(tmp_path / "geom" / "geom_drugs_2.npy")
+    assert arr.shape[1] == 5
+    assert len(_np.unique(arr[:, 0])) == 6  # 3 molecules x 2 conformers
+    smiles = (tmp_path / "geom" / "geom_drugs_smiles.txt").read_text().split()
+    assert smiles == [f"SMILES_{i}" for i in range(3)]
