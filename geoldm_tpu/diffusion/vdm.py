@@ -394,11 +394,18 @@ def vdm_nll(
 def sample_normal(key, mu, sigma, node_mask, n_dims, feat_nf, fix_noise=False):
     """mu + sigma * eps with combined CoM-zero/standard noise.
 
-    With fix_noise the same noise realisation is broadcast over the batch
-    (reference: en_diffusion.py:499-503 — bs=1 sample broadcast)."""
+    With fix_noise a single [1, N, D] noise draw is broadcast over the batch
+    and then masked/CoM-projected per sample (reference: en_diffusion.py:
+    499-503 with the bs=1 draw broadcasting against the full node_mask in
+    utils.py:107-116) — correct even when batch elements have different
+    sizes."""
     if fix_noise:
-        mask1 = node_mask[:1]
-        eps = sample_combined_position_feature_noise(key, mask1, n_dims, feat_nf)
+        b, n, _ = node_mask.shape
+        kx, kh = jax.random.split(key)
+        raw_x = jax.random.normal(kx, (1, n, n_dims)) * node_mask  # -> [B,N,3]
+        z_x = com.remove_mean_with_mask(raw_x, node_mask)
+        z_h = jax.random.normal(kh, (1, n, feat_nf)) * node_mask
+        eps = jnp.concatenate([z_x, z_h], axis=2)
     else:
         eps = sample_combined_position_feature_noise(key, node_mask, n_dims, feat_nf)
     return mu + sigma * eps
@@ -500,10 +507,11 @@ def vdm_sample(
     k_init, k_scan, k_final = jax.random.split(key, 3)
 
     if fix_noise:
-        z = sample_combined_position_feature_noise(
-            k_init, node_mask[:1], cfg.n_dims, cfg.in_node_nf
+        # One [1, N, D] draw broadcast over the batch, masked/CoM-projected
+        # per sample (reference: en_diffusion.py:767-771).
+        z = sample_normal(
+            k_init, 0.0, 1.0, node_mask, cfg.n_dims, cfg.in_node_nf, fix_noise=True
         )
-        z = jnp.broadcast_to(z, (b,) + z.shape[1:]) * node_mask
     else:
         z = sample_combined_position_feature_noise(
             k_init, node_mask, cfg.n_dims, cfg.in_node_nf

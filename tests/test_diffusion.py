@@ -296,3 +296,24 @@ def test_bfloat16_mixed_sampling_mode():
     assert np.all(np.isfinite(np.asarray(x)))
     np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-2)
     assert np.all(np.isin(np.asarray(hc), [0.0, 1.0]))
+
+
+def test_fix_noise_with_heterogeneous_sizes():
+    """fix_noise with different molecule sizes: padded entries stay zero and
+    each sample is CoM-centered under its own mask."""
+    cfg = tiny_model("diffusion")
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask = np.zeros((3, 8, 1), dtype=np.float32)
+    node_mask[0, :4] = 1
+    node_mask[1, :8] = 1
+    node_mask[2, :6] = 1
+    node_mask = jnp.asarray(node_mask)
+    edge_mask = build_edge_mask(node_mask)
+    x, h_cat, h_int = vdm.vdm_sample(
+        params, cfg.diffusion, cfg.dynamics, jax.random.key(3), node_mask,
+        edge_mask, fix_noise=True,
+    )
+    x = np.asarray(x)
+    mask = np.asarray(node_mask)
+    assert np.abs(x * (1 - mask)).max() == 0.0
+    np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-4)
