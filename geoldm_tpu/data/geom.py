@@ -29,7 +29,8 @@ import numpy as np
 from geoldm_tpu.data.collate import build_masks
 from geoldm_tpu.data.datasets_config import DatasetInfo
 
-DEFAULT_BUCKETS = (32, 44, 56, 72, 96, 128, 181)
+# Multiples of 8 (TPU sublane alignment; unaligned pads cost relayouts).
+DEFAULT_BUCKETS = (32, 48, 64, 80, 104, 128, 184)
 
 
 def extract_conformers(
@@ -152,9 +153,12 @@ class GeomLoader:
         self.shuffle = shuffle
         self.include_charges = include_charges
         max_n = dataset_info.max_n_nodes
-        self.buckets = tuple(sorted(set(min(b, max_n) for b in buckets)))
-        if self.buckets[-1] < max_n:
-            self.buckets = self.buckets + (max_n,)
+        # Buckets may exceed max_n_nodes (masks carry the real size); keep
+        # only the first bucket covering it.
+        covering = [b for b in sorted(set(buckets)) if b < max_n]
+        top = min((b for b in sorted(set(buckets)) if b >= max_n),
+                  default=-(-max_n // 8) * 8)
+        self.buckets = tuple(covering) + (top,)
         self.drop_last = shuffle if drop_last is None else drop_last
         self._rng = np.random.default_rng(seed)
         self.atomic_numbers = np.asarray(dataset_info.atomic_numbers, dtype=np.int64)

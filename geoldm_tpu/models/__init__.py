@@ -1,2 +1,3 @@
-from geoldm_tpu.models import factory as factory
+from geoldm_tpu.models import classifier as classifier
 from geoldm_tpu.models import distributions as distributions
+from geoldm_tpu.models import factory as factory
