@@ -315,7 +315,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
             nll_val = trainer_mod.evaluate_nll(
                 eval_params, eval_nll, loaders["valid"], nodes_dist, v_key,
                 conditioning=args.conditioning, property_norms=property_norms,
-                partition="valid",
+                partition="valid", augment_noise=args.augment_noise, rng=rng,
             )
             logger.log({"nll_val": nll_val}, step=epoch)
             if args.save_model:
@@ -329,7 +329,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                 nll_test = trainer_mod.evaluate_nll(
                     eval_params, eval_nll, loaders["test"], nodes_dist, t_key,
                     conditioning=args.conditioning, property_norms=property_norms,
-                    partition="test",
+                    partition="test", augment_noise=args.augment_noise, rng=rng,
                 )
                 logger.log({"nll_test": nll_test, "best_nll_val": best_nll_val}, step=epoch)
     logger.close()

@@ -47,9 +47,12 @@ class EGNNConfig:
 
     @property
     def coords_range_layer(self) -> float:
-        # reference: egnn/egnn_new.py:160
-        if self.n_layers > 0:
-            return float(self.coords_range) / self.n_layers
+        # The reference computes coords_range/n_layers (egnn_new.py:160) but
+        # that attribute is never used: EGNN passes the UNDIVIDED
+        # coords_range to every EquivariantBlock (egnn_new.py:175-181, block
+        # ctor :116), so the effective per-block tanh multiplier is the full
+        # value. Matched here for parity (verified by a 2x vel discrepancy
+        # otherwise at normalization_factor=1).
         return float(self.coords_range)
 
     @property

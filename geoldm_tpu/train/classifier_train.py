@@ -111,7 +111,9 @@ def train_classifier(
     best_params = params
 
     for epoch in range(epochs):
-        epoch_lr = float(schedule(epoch))
+        # The reference steps CosineAnnealingLR at the START of each train
+        # epoch (main_qm9_prop.py:16-17), so epoch e trains at schedule(e+1).
+        epoch_lr = float(schedule(epoch + 1))
         for i, raw in enumerate(loaders["train"]):
             batch = batch_for_classifier(raw, prop)
             params, opt_state, loss = step(params, opt_state, batch, mean, mad, epoch_lr)

@@ -120,12 +120,17 @@ def evaluate_nll(
     conditioning=(),
     property_norms=None,
     partition: str = "valid",
+    augment_noise: float = 0.0,
+    rng=None,
 ) -> float:
     """Mean NLL over a split (t0_always estimator). reference:
-    train_test.py:103-149."""
+    train_test.py:103-149 — note the reference applies augment_noise during
+    evaluation as well (train_test.py:119-124), matched here."""
     total, count = 0.0, 0
+    rng = rng or np.random.default_rng(0)
     for raw in loader:
-        batch = prepare_batch(raw, nodes_dist, conditioning, property_norms)
+        batch = prepare_batch(raw, nodes_dist, conditioning, property_norms,
+                              augment_noise=augment_noise, rng=rng)
         key, sub = jax.random.split(key)
         nll = float(eval_nll_fn(params, batch, sub))
         b = batch["x"].shape[0]

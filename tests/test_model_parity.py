@@ -304,3 +304,48 @@ def test_vae_reconstruction_error_parity():
         )
     )
     np.testing.assert_allclose(mine, ref_err, rtol=1e-4, atol=1e-4)
+
+
+def test_conditional_dynamics_parity():
+    """Context-conditioned denoiser forward matches the reference (guards
+    the time/context channel append + slice-off order)."""
+    torch.manual_seed(3)
+    from egnn.models import EGNN_dynamics_QM9 as TorchDyn
+
+    in_node_nf, ctx = 6, 2
+    dyn = TorchDyn(
+        in_node_nf=in_node_nf + 1, context_node_nf=ctx, n_dims=3, hidden_nf=NF,
+        n_layers=LAYERS, attention=True, tanh=True, norm_constant=1.0,
+        inv_sublayers=SUBL, sin_embedding=False, normalization_factor=1.0,
+        aggregation_method="sum", condition_time=True,
+    )
+    dyn.eval()
+    cfg = factory.make_diffusion_model_config(
+        INFO, nf=NF, n_layers=LAYERS, inv_sublayers=SUBL, diffusion_steps=T,
+        normalization_factor=1.0, context_node_nf=ctx,
+    )
+    params = dynamics_params_from_torch(dyn, LAYERS, SUBL, True)
+
+    x, h_cat, h_int, node_mask = _masked_inputs(seed=9)
+    xh = np.concatenate([x, h_cat, h_int], axis=2)
+    rng = np.random.default_rng(10)
+    context = (rng.standard_normal((B, N, ctx)) * node_mask).astype(np.float32)
+    t_arr = np.full((B, 1), 0.37, dtype=np.float32)
+    em_flat = _flat_edge_mask(node_mask)
+
+    with torch.no_grad():
+        out_ref = dyn._forward(
+            torch.from_numpy(t_arr), torch.from_numpy(xh),
+            torch.from_numpy(node_mask),
+            torch.from_numpy(em_flat.reshape(-1, 1)),
+            torch.from_numpy(context),
+        ).numpy()
+
+    from geoldm_tpu.nn.dynamics import dynamics_apply
+
+    out = dynamics_apply(
+        {"egnn": params["egnn"]}, cfg.dynamics, jnp.asarray(t_arr),
+        jnp.asarray(xh), jnp.asarray(node_mask),
+        build_edge_mask(jnp.asarray(node_mask)), jnp.asarray(context),
+    )
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-4, rtol=1e-3)

@@ -91,7 +91,8 @@ def fc_edges(n_nodes, batch_size):
 
 @pytest.mark.parametrize("sin_emb", [False, True])
 @pytest.mark.parametrize("attention,tanh", [(True, True), (False, False)])
-def test_egnn_forward_parity(sin_emb, attention, tanh):
+@pytest.mark.parametrize("normalization_factor", [100.0, 1.0])
+def test_egnn_forward_parity(sin_emb, attention, tanh, normalization_factor):
     torch.manual_seed(0)
     b, n, in_nf, out_nf, hidden = 2, 7, 6, 5, 32
     cfg = EGNNConfig(
@@ -105,7 +106,7 @@ def test_egnn_forward_parity(sin_emb, attention, tanh):
         coords_range=15.0,
         norm_constant=1.0,
         sin_embedding=sin_emb,
-        normalization_factor=100.0,
+        normalization_factor=normalization_factor,
         aggregation_method="sum",
     )
     model = TorchEGNN(
