@@ -30,6 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--use_ema", type=eval, default=True)
     p.add_argument("--skip_nll", action="store_true")
     p.add_argument("--n_test_passes", type=int, default=5)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard generation over this many devices")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -60,12 +62,18 @@ def main(argv=None) -> None:
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
 
+    mesh = None
+    if args.dp > 1:
+        from geoldm_tpu.parallel import sharding as shd
+
+        mesh = shd.make_mesh(dp=args.dp, tp=1)
+
     t0 = time.time()
     validity, rdkit_tuple, molecules = trainer_mod.analyze_and_save(
         model_cfg, params, key, dataset_info, nodes_dist,
         n_samples=args.n_samples, batch_size=args.batch_size_gen,
         compute_dtype=args.compute_dtype if args.compute_dtype != "float32" else None,
-        rng=rng,
+        rng=rng, mesh=mesh,
     )
     elapsed = time.time() - t0
     n_done = len(molecules["x"])

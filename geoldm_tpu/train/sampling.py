@@ -63,10 +63,13 @@ def sample(
     pad_nodes: Optional[int] = None,
     compute_dtype: Optional[str] = None,
     rng: Optional[np.random.Generator] = None,
+    mesh=None,
 ):
     """Generate molecules with the requested atom counts.
 
-    Returns (one_hot, charges, x, node_mask) as numpy arrays.
+    Returns (one_hot, charges, x, node_mask) as numpy arrays. With ``mesh``
+    the batch is sharded over the mesh's data axis (generation fans out
+    across chips; GSPMD partitions the scanned sampler).
     reference: qm9/sampling.py:110-154."""
     max_n_nodes = pad_nodes or dataset_info["max_n_nodes"]
     nodesxsample = np.asarray(nodesxsample)
@@ -84,9 +87,22 @@ def sample(
             )
         context_dev = jnp.asarray(context * node_mask_np)
 
+    node_mask_dev = jnp.asarray(node_mask_np)
+    edge_mask_dev = jnp.asarray(edge_mask_np)
+    if mesh is not None and mesh.size > 1 and len(nodesxsample) % mesh.size != 0:
+        mesh = None  # uneven remainder chunk: fall back to single-device
+    if mesh is not None and mesh.size > 1:
+        from geoldm_tpu.parallel import sharding as shd
+
+        params = shd.shard_params(params, mesh)
+        node_mask_dev = jax.device_put(node_mask_dev, shd.batch_sharding(mesh))
+        edge_mask_dev = jax.device_put(edge_mask_dev, shd.batch_sharding(mesh))
+        if context_dev is not None:
+            context_dev = jax.device_put(context_dev, shd.batch_sharding(mesh))
+
     sampler = _jitted_sampler(model_cfg, compute_dtype)
     x, h_cat, h_int = sampler(
-        params, key, jnp.asarray(node_mask_np), jnp.asarray(edge_mask_np),
+        params, key, node_mask_dev, edge_mask_dev,
         context_dev, fix_noise=fix_noise,
     )
     return (
@@ -112,6 +128,7 @@ def sample_bucketed(
     fix_noise: bool = False,
     compute_dtype: Optional[str] = None,
     rng: Optional[np.random.Generator] = None,
+    mesh=None,
 ):
     """Size-bucketed generation: molecules are grouped by atom count and each
     group is padded only to its bucket boundary, cutting the O(N^2) edge work
@@ -158,7 +175,7 @@ def sample_bucketed(
             one_hot, charges, x, node_mask = sample(
                 model_cfg, params, sub, dataset_info, sizes, prop_dist=prop_dist,
                 fix_noise=fix_noise, pad_nodes=pad, compute_dtype=compute_dtype,
-                rng=rng,
+                rng=rng, mesh=mesh,
             )
             for j, orig in enumerate(chunk):
                 results[int(orig)] = (

@@ -154,6 +154,7 @@ def analyze_and_save(
     pad_nodes: Optional[int] = None,
     compute_dtype: Optional[str] = None,
     rng: Optional[np.random.Generator] = None,
+    mesh=None,
 ):
     """Generate n_samples molecules and compute stability (+rdkit) metrics.
 
@@ -168,7 +169,7 @@ def analyze_and_save(
     one_hot, charges, x, node_mask = sampling_mod.sample_bucketed(
         model_cfg, params, key, dataset_info, nodesxsample,
         batch_size=batch_size, buckets=buckets, prop_dist=prop_dist,
-        compute_dtype=compute_dtype, rng=rng,
+        compute_dtype=compute_dtype, rng=rng, mesh=mesh,
     )
     molecules = {"one_hot": one_hot, "x": x, "node_mask": node_mask[..., 0]}
     validity_dict, rdkit_tuple = analyze_stability_for_molecules(

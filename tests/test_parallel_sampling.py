@@ -38,3 +38,24 @@ def test_sharded_sampling_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_sh), atol=1e-4)
     np.testing.assert_allclose(np.asarray(hc_ref), np.asarray(hc_sh), atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_bucketed_sampling_with_mesh():
+    """sample_bucketed fans out over the data mesh and matches shapes."""
+    import numpy as np
+
+    from geoldm_tpu.train import sampling as S
+
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    mesh = shd.make_mesh(dp=8, tp=1)
+    nodesxsample = np.array([5, 9, 7, 12, 4, 8, 10, 6] * 2)
+    one_hot, charges, x, node_mask = S.sample_bucketed(
+        cfg, params, jax.random.key(1), INFO, nodesxsample, batch_size=8,
+        buckets=(16, 32), mesh=mesh,
+    )
+    assert x.shape[0] == 16
+    np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
