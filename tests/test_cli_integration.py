@@ -176,3 +176,29 @@ def test_geom_filter_size(tmp_path):
     train, val, test = load_split_data(path, filter_size=20)
     for m in train + val + test:
         assert m.shape[0] <= 20
+
+
+def test_main_geom_drugs_train_smoke(tmp_path):
+    from geoldm_tpu.cli import main_geom_drugs
+
+    _fake_geom_npy(tmp_path, n_mols=80)
+    outdir = tmp_path / "out"
+    main_geom_drugs.main([
+        "--exp_name", "geom_smoke",
+        "--datadir", str(tmp_path),
+        "--conformations", "30",
+        "--outdir", str(outdir),
+        "--train_diffusion", "--trainable_ae",
+        "--n_epochs", "1",
+        "--test_epochs", "5",
+        "--batch_size", "8",
+        "--nf", "16",
+        "--n_layers", "1",
+        "--latent_nf", "2",
+        "--diffusion_steps", "6",
+        "--n_stability_samples", "8",
+        "--no_wandb",
+        "--break_train_epoch", "True",
+        "--save_model", "False",
+    ])
+    assert (outdir / "geom_smoke" / "metrics.jsonl").exists()
