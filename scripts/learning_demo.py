@@ -1,15 +1,6 @@
 """End-to-end learning validation: train a small diffusion model on exact
-small-molecule geometries (methane/water/ammonia with random rotations and
-tiny jitter); the stability of generated samples should climb from ~0%, and
-bf16_mixed sampling should match f32 stability on the trained weights.
-
-Measured on a TPU v5e (3000 steps, ~90s):
-  template stability:  atom 100%, molecule 100%
-  sampled (f32):           atom 83.5%, molecule 51.7%
-  sampled (bfloat16_mixed): atom 83.8%, molecule 51.7%
-
-Run: python scripts/learning_demo.py
-"""
+small-molecule geometries; stability of samples should climb from ~0; then
+compare f32 vs bf16_mixed sampling stability on the trained weights."""
 import time, numpy as np, jax, jax.numpy as jnp
 from geoldm_tpu.config import TrainConfig
 from geoldm_tpu.data.datasets_config import get_dataset_info
@@ -78,7 +69,7 @@ def prep(b):
     return d
 
 t0=time.time()
-STEPS=3000
+STEPS=10000
 for i in range(STEPS):
     b = prep(make_batch(128))
     state, m = step(state, b, jax.random.key(10000+i))
@@ -86,8 +77,8 @@ for i in range(STEPS):
         print(f"step {i}: loss {float(m['loss']):.4f} ({time.time()-t0:.0f}s)")
 
 # Sample + stability with EMA params, both precisions.
-sizes = np.array([5,3,4]*40)  # 120 molecules of template sizes
-for dt in [None, "bfloat16_mixed"]:
+sizes = np.array([5,3,4]*100)  # 300 molecules of template sizes
+for dt in [None, "bfloat16_mixed", "pallas"]:
     oh, ch, x, nm = S.sample(cfg, state.ema_params, jax.random.key(7), INFO,
                              sizes, pad_nodes=8, compute_dtype=dt)
     v,_ = analyze_stability_for_molecules(
