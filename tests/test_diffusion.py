@@ -317,3 +317,19 @@ def test_fix_noise_with_heterogeneous_sizes():
     mask = np.asarray(node_mask)
     assert np.abs(x * (1 - mask)).max() == 0.0
     np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-4)
+
+
+def test_learned_gamma_sampling():
+    """The learned-gamma network works inside the scanned sampler."""
+    cfg = tiny_model("diffusion", noise_schedule="learned", loss_type="vlb",
+                     diffusion_steps=8)
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask = jnp.ones((2, 6, 1))
+    edge_mask = build_edge_mask(node_mask)
+    x, h_cat, h_int = vdm.vdm_sample(
+        params, cfg.diffusion, cfg.dynamics, jax.random.key(1), node_mask, edge_mask
+    )
+    assert np.all(np.isfinite(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-4)
+    info = vdm.log_info(cfg.diffusion, params)
+    assert info["log_SNR_max"] > info["log_SNR_min"]
