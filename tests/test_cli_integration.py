@@ -202,3 +202,37 @@ def test_main_geom_drugs_train_smoke(tmp_path):
         "--save_model", "False",
     ])
     assert (outdir / "geom_smoke" / "metrics.jsonl").exists()
+
+
+def test_main_qm9_second_half_with_visualize(tmp_path):
+    """qm9_second_half protocol (norms from the valid split) + the
+    visualize-at-test-epoch branch (chain gif + molecule grid)."""
+    from geoldm_tpu.cli import main_qm9
+
+    _fake_qm9(tmp_path, n_mols=64)
+    outdir = tmp_path / "out"
+    main_qm9.main([
+        "--exp_name", "half_smoke",
+        "--datadir", str(tmp_path),
+        "--dataset", "qm9_second_half",
+        "--outdir", str(outdir),
+        "--train_diffusion",
+        "--conditioning", "alpha",
+        "--n_epochs", "1",
+        "--test_epochs", "1",
+        "--batch_size", "8",
+        "--nf", "16",
+        "--n_layers", "1",
+        "--diffusion_steps", "6",
+        "--n_stability_samples", "8",
+        "--no_wandb",
+        "--break_train_epoch", "True",
+        "--visualize", "True",
+        "--save_model", "False",
+    ])
+    run_dir = outdir / "half_smoke"
+    assert (run_dir / "metrics.jsonl").exists()
+    epoch_dir = run_dir / "epoch_0"
+    assert (epoch_dir / "chain").exists()
+    assert any(f.endswith(".gif") for f in os.listdir(epoch_dir / "chain"))
+    assert (epoch_dir / "molecules").exists()
