@@ -208,19 +208,20 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     key, init_key = jax.random.split(key)
     state, tx = create_train_state(init_key, model_cfg, train_cfg)
 
-    # Load a pre-trained first-stage VAE (reference: qm9/models.py:103-128).
+    # Load a pre-trained first-stage VAE (reference: qm9/models.py:103-128;
+    # EMA weights are used when the first stage trained with EMA).
     if args.ae_path and model_cfg.kind == "latent_diffusion":
-        vae_cfg_loaded = ckpt.load_config(args.ae_path)
+        vae_template = state.params["vae"]
         vae_state = ckpt.load_checkpoint(
             args.ae_path,
-            template={"vae": state.params["vae"]},
+            template={"params": vae_template, "ema_params": vae_template},
             name="best",
         )
+        vae_params = vae_state["ema_params"] if args.ema_decay > 0 else vae_state["params"]
         state = state._replace(
-            params={**state.params, "vae": vae_state["vae"]},
-            ema_params={**state.ema_params, "vae": vae_state["vae"]},
+            params={**state.params, "vae": vae_params},
+            ema_params={**state.ema_params, "vae": vae_params},
         )
-        del vae_cfg_loaded
 
     outdir = os.path.join(args.outdir, args.exp_name)
     if args.resume:

@@ -236,3 +236,54 @@ def test_main_qm9_second_half_with_visualize(tmp_path):
     assert (epoch_dir / "chain").exists()
     assert any(f.endswith(".gif") for f in os.listdir(epoch_dir / "chain"))
     assert (epoch_dir / "molecules").exists()
+
+
+def test_two_stage_ae_path_protocol(tmp_path):
+    """Reference two-stage protocol: train the VAE first, then train the
+    latent diffusion with --ae_path loading the first stage
+    (reference: qm9/models.py:103-128)."""
+    from geoldm_tpu.cli import main_qm9
+
+    _fake_qm9(tmp_path)
+    outdir = tmp_path / "out"
+    common = [
+        "--datadir", str(tmp_path), "--outdir", str(outdir),
+        "--n_epochs", "1", "--test_epochs", "1", "--batch_size", "8",
+        "--nf", "16", "--n_layers", "1", "--diffusion_steps", "6",
+        "--n_stability_samples", "8", "--no_wandb",
+        "--break_train_epoch", "True",
+    ]
+    # Stage 1: VAE.
+    main_qm9.main(["--exp_name", "ae_stage"] + common)
+    ae_dir = outdir / "ae_stage"
+    assert (ae_dir / "best").exists()
+
+    # Stage 2: latent diffusion with the pre-trained first stage.
+    main_qm9.main([
+        "--exp_name", "ldm_stage", "--train_diffusion",
+        "--ae_path", str(ae_dir),
+    ] + common)
+    assert (outdir / "ldm_stage" / "metrics.jsonl").exists()
+
+    # The loaded VAE weights must equal the stage-1 checkpoint.
+    import jax
+
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.utils import checkpoint as ckpt
+
+    ae_cfg = ckpt.load_config(str(ae_dir))
+    vae_template = factory.init_params(jax.random.key(0), ae_cfg)
+    saved = ckpt.load_checkpoint(
+        str(ae_dir), template={"params": vae_template, "ema_params": vae_template},
+        name="best",
+    )
+    ldm_cfg = ckpt.load_config(str(outdir / "ldm_stage"))
+    ldm_template = factory.init_params(jax.random.key(1), ldm_cfg)
+    ldm_state = ckpt.load_checkpoint(
+        str(outdir / "ldm_stage"),
+        template={"params": ldm_template, "ema_params": ldm_template},
+        name="best",
+    )
+    a = np.asarray(saved["ema_params"]["encoder"]["egnn"]["embedding"]["w"])
+    b = np.asarray(ldm_state["params"]["vae"]["encoder"]["egnn"]["embedding"]["w"])
+    np.testing.assert_array_equal(a, b)
