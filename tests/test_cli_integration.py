@@ -287,3 +287,34 @@ def test_two_stage_ae_path_protocol(tmp_path):
     a = np.asarray(saved["ema_params"]["encoder"]["egnn"]["embedding"]["w"])
     b = np.asarray(ldm_state["params"]["vae"]["encoder"]["egnn"]["embedding"]["w"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_resume_training(tmp_path):
+    """--resume restores the full TrainState (params/opt/EMA/step) and the
+    checkpoint's config wins over CLI flags."""
+    from geoldm_tpu.cli import main_qm9
+
+    _fake_qm9(tmp_path)
+    outdir = tmp_path / "out"
+    common = [
+        "--exp_name", "resume_smoke",
+        "--datadir", str(tmp_path), "--outdir", str(outdir),
+        "--train_diffusion",
+        "--test_epochs", "1", "--batch_size", "8",
+        "--nf", "16", "--n_layers", "1", "--diffusion_steps", "6",
+        "--n_stability_samples", "8", "--no_wandb",
+        "--break_train_epoch", "True",
+    ]
+    main_qm9.main(common + ["--n_epochs", "1"])
+    run_dir = outdir / "resume_smoke"
+    assert (run_dir / "latest").exists()
+
+    # Resume for one more epoch; pass a DIFFERENT nf to confirm the
+    # checkpoint config overrides the CLI.
+    main_qm9.main(common + [
+        "--n_epochs", "2", "--start_epoch", "1",
+        "--resume", str(run_dir), "--nf", "32",
+    ])
+    lines = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    steps = [l["_step"] for l in lines if "_step" in l]
+    assert 1 in steps  # epoch-1 metrics logged after resume
