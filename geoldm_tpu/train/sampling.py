@@ -74,6 +74,20 @@ def sample(
     max_n_nodes = pad_nodes or dataset_info["max_n_nodes"]
     nodesxsample = np.asarray(nodesxsample)
     assert int(nodesxsample.max()) <= max_n_nodes
+    n_req = len(nodesxsample)
+    if mesh is not None and mesh.size > 1 and n_req % mesh.size != 0:
+        # Pad the batch up to a mesh multiple (repeat the last size) so the
+        # fan-out never silently degrades to single-device; padded rows are
+        # trimmed from every output below.
+        pad_b = -(-n_req // mesh.size) * mesh.size - n_req
+        nodesxsample = np.concatenate(
+            [nodesxsample, np.repeat(nodesxsample[-1:], pad_b)]
+        )
+        if context is not None:
+            context = np.asarray(context)
+            context = np.concatenate(
+                [context, np.repeat(context[-1:], pad_b, axis=0)]
+            )
     node_mask_np, edge_mask_np = build_masks(nodesxsample, max_n_nodes)
 
     context_dev = None
@@ -89,8 +103,6 @@ def sample(
 
     node_mask_dev = jnp.asarray(node_mask_np)
     edge_mask_dev = jnp.asarray(edge_mask_np)
-    if mesh is not None and mesh.size > 1 and len(nodesxsample) % mesh.size != 0:
-        mesh = None  # uneven remainder chunk: fall back to single-device
     if mesh is not None and mesh.size > 1:
         from geoldm_tpu.parallel import sharding as shd
 
@@ -106,10 +118,10 @@ def sample(
         context_dev, fix_noise=fix_noise,
     )
     return (
-        np.asarray(h_cat),
-        np.asarray(h_int),
-        np.asarray(x),
-        node_mask_np,
+        np.asarray(h_cat)[:n_req],
+        np.asarray(h_int)[:n_req],
+        np.asarray(x)[:n_req],
+        node_mask_np[:n_req],
     )
 
 

@@ -59,3 +59,32 @@ def test_bucketed_sampling_with_mesh():
     )
     assert x.shape[0] == 16
     np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_uneven_batch_pads_to_mesh_multiple():
+    """B=12 on an 8-device mesh stays sharded (padded to 16, trimmed back)
+    instead of silently dropping to single-device; results match the
+    first 12 rows of the padded sharded run."""
+    from geoldm_tpu.train import sampling as S
+
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    mesh = shd.make_mesh(dp=8, tp=1)
+    sizes12 = np.array([5, 9, 7, 12, 4, 8, 10, 6, 11, 3, 9, 7])
+    one_hot, charges, x, node_mask = S.sample(
+        cfg, params, jax.random.key(3), INFO, sizes12, pad_nodes=16, mesh=mesh
+    )
+    assert x.shape[0] == 12
+    np.testing.assert_array_equal(node_mask[..., 0].sum(1), sizes12)
+
+    # Same key, explicitly padded to 16 with the last size repeated — the
+    # first 12 rows must be bit-identical (proves the sharded path ran and
+    # the trim is exactly the pad inverse).
+    sizes16 = np.concatenate([sizes12, np.repeat(sizes12[-1:], 4)])
+    _, _, x16, _ = S.sample(
+        cfg, params, jax.random.key(3), INFO, sizes16, pad_nodes=16, mesh=mesh
+    )
+    np.testing.assert_allclose(x, x16[:12], atol=1e-5)
