@@ -73,7 +73,7 @@ def main(argv=None) -> None:
         model_cfg, params, key, dataset_info, nodes_dist,
         n_samples=args.n_samples, batch_size=args.batch_size_gen,
         compute_dtype=args.compute_dtype if args.compute_dtype != "float32" else None,
-        rng=rng, mesh=mesh,
+        rng=rng, mesh=mesh, datadir=args.datadir,
     )
     elapsed = time.time() - t0
     n_done = len(molecules["x"])

@@ -60,10 +60,24 @@ def molecules_from_padded(
     return out
 
 
+_FALLBACK_WARNED = False
+
+
+def _warn_fallback_once() -> None:
+    global _FALLBACK_WARNED
+    if not _FALLBACK_WARNED:
+        print(
+            "rdkit not installed: validity/uniqueness/novelty use the "
+            "pure-python valence-based fallback (WL graph keys)."
+        )
+        _FALLBACK_WARNED = True
+
+
 def analyze_stability_for_molecules(
     molecule_list: Dict[str, np.ndarray],
     dataset_info,
     use_rdkit: Optional[bool] = None,
+    datadir: str = "data",
 ) -> Tuple[Dict[str, float], Optional[tuple]]:
     """Aggregate stability (+ optional RDKit validity/uniqueness/novelty).
 
@@ -103,18 +117,22 @@ def analyze_stability_for_molecules(
         "atm_stable": nr_stable_bonds / float(max(n_atoms, 1)),
     }
 
-    if use_rdkit is None:
-        from geoldm_tpu.evalsuite.rdkit_metrics import RDKIT_AVAILABLE
+    # use_rdkit: None = compute the validity triple with the best available
+    # backend (RDKit, else the pure-python valence fallback); True = require
+    # RDKit; False = skip the triple entirely.
+    if use_rdkit is False:
+        return validity_dict, None
+    from geoldm_tpu.evalsuite import rdkit_metrics as rm
 
-        use_rdkit = RDKIT_AVAILABLE
-    if use_rdkit:
-        from geoldm_tpu.evalsuite.rdkit_metrics import BasicMolecularMetrics
-
-        if processed is None:
-            processed = molecules_from_padded(x, one_hot, node_mask)
-        metrics = BasicMolecularMetrics(dataset_info)
-        return validity_dict, metrics.evaluate(processed)
-    return validity_dict, None
+    if processed is None:
+        processed = molecules_from_padded(x, one_hot, node_mask)
+    if use_rdkit is True:
+        metrics = rm.BasicMolecularMetrics(dataset_info, datadir=datadir)
+    else:
+        metrics = rm.make_molecular_metrics(dataset_info, datadir=datadir)
+        if metrics.source != "rdkit":
+            _warn_fallback_once()
+    return validity_dict, metrics.evaluate(processed)
 
 
 def analyze_node_distribution(mol_list) -> Tuple[Dict[int, int], Dict[int, int]]:

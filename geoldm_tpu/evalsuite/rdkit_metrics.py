@@ -1,8 +1,13 @@
-"""RDKit-based validity / uniqueness / novelty metrics (optional).
+"""Validity / uniqueness / novelty metrics: RDKit-backed with a pure-python
+valence-based fallback.
 
 RDKit is an optional dependency (guarded import, like the reference's
-qm9/analyze.py:1-6). When absent, ``RDKIT_AVAILABLE`` is False and the
-stability metrics still run; the rdkit triple is skipped.
+qm9/analyze.py:1-6). When absent, ``FallbackMolecularMetrics`` provides the
+same triple from the bond-inference tables alone: validity = no atom exceeds
+its maximum allowed valence (RDKit's sanitize failure mode), and molecule
+identity = a Weisfeiler-Lehman hash of the inferred bond graph instead of a
+canonical SMILES. The fallback triple is comparable run-to-run but not
+numerically identical to RDKit's (aromaticity/charge perception are absent).
 
 reference: qm9/rdkit_functions.py:76-188 (BasicMolecularMetrics,
 build_molecule / build_xae_molecule), :11-67 (training-set SMILES cache).
@@ -10,6 +15,7 @@ build_molecule / build_xae_molecule), :11-67 (training-set SMILES cache).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 from typing import List, Optional, Sequence
@@ -118,10 +124,44 @@ def retrieve_qm9_smiles(dataset_info, datadir: str = "data", cache_dir: str = "d
     return smiles
 
 
-class BasicMolecularMetrics:
-    """Validity (largest fragment), uniqueness, novelty.
+class _MolecularMetricsBase:
+    """Shared uniqueness/novelty/evaluate over molecule identity strings
+    (canonical SMILES for the RDKit path, WL graph keys for the fallback).
+
+    reference: qm9/rdkit_functions.py:102-133."""
+
+    source = "abstract"
+    dataset_smiles_list: Optional[List[str]] = None
+
+    def compute_validity(self, generated: Sequence[tuple]):
+        raise NotImplementedError
+
+    def compute_uniqueness(self, valid: List[str]):
+        return list(set(valid)), len(set(valid)) / len(valid)
+
+    def compute_novelty(self, unique: List[str]):
+        novel = [s for s in unique if s not in self.dataset_smiles_list]
+        return novel, len(novel) / len(unique)
+
+    def evaluate(self, generated: Sequence[tuple]):
+        valid, validity = self.compute_validity(generated)
+        if validity > 0:
+            unique, uniqueness = self.compute_uniqueness(valid)
+            if self.dataset_smiles_list is not None:
+                _, novelty = self.compute_novelty(unique)
+            else:
+                novelty = 0.0
+        else:
+            unique, uniqueness, novelty = None, 0.0, 0.0
+        return [validity, uniqueness, novelty], unique
+
+
+class BasicMolecularMetrics(_MolecularMetricsBase):
+    """Validity (largest fragment), uniqueness, novelty via RDKit.
 
     reference: qm9/rdkit_functions.py:76-133."""
+
+    source = "rdkit"
 
     def __init__(self, dataset_info, dataset_smiles_list=None, datadir: str = "data"):
         assert RDKIT_AVAILABLE, "rdkit not installed"
@@ -144,21 +184,142 @@ class BasicMolecularMetrics:
                 valid.append(mol2smiles(largest))
         return valid, len(valid) / len(generated)
 
-    def compute_uniqueness(self, valid: List[str]):
-        return list(set(valid)), len(set(valid)) / len(valid)
 
-    def compute_novelty(self, unique: List[str]):
-        novel = [s for s in unique if s not in self.dataset_smiles_list]
-        return novel, len(novel) / len(unique)
+# ---------------------------------------------------------------------------
+# Pure-python fallback (no RDKit): over-valence validity + WL graph identity
+# ---------------------------------------------------------------------------
 
-    def evaluate(self, generated: Sequence[tuple]):
-        valid, validity = self.compute_validity(generated)
-        if validity > 0:
-            unique, uniqueness = self.compute_uniqueness(valid)
-            if self.dataset_smiles_list is not None:
-                _, novelty = self.compute_novelty(unique)
-            else:
-                novelty = 0.0
-        else:
-            unique, uniqueness, novelty = None, 0.0, 0.0
-        return [validity, uniqueness, novelty], unique
+
+def graph_canonical_key(symbols: Sequence[str], sym_orders: np.ndarray) -> str:
+    """Permutation-invariant identity string for a bond graph via iterated
+    Weisfeiler-Lehman relabeling (the same family of hash RDKit's Morgan
+    algorithm uses). symbols: per-atom element strings; sym_orders: [N, N]
+    symmetric integer bond orders."""
+    n = len(symbols)
+    sym_orders = np.asarray(sym_orders)
+    neigh = [np.nonzero(sym_orders[i])[0] for i in range(n)]
+    lab = [str(s) for s in symbols]
+    for _ in range(max(1, min(n, 8))):
+        lab = [
+            hashlib.sha1(
+                (
+                    lab[i]
+                    + "|"
+                    + ",".join(
+                        sorted(f"{int(sym_orders[i, j])}:{lab[j]}" for j in neigh[i])
+                    )
+                ).encode()
+            ).hexdigest()[:16]
+            for i in range(n)
+        ]
+    return hashlib.sha1(".".join(sorted(lab)).encode()).hexdigest()
+
+
+def _connected_components(adj: np.ndarray) -> List[np.ndarray]:
+    """Connected components of a boolean adjacency matrix (BFS)."""
+    n = len(adj)
+    seen = np.zeros(n, dtype=bool)
+    comps = []
+    for s in range(n):
+        if seen[s]:
+            continue
+        stack = [s]
+        seen[s] = True
+        comp = []
+        while stack:
+            i = stack.pop()
+            comp.append(i)
+            for j in np.nonzero(adj[i])[0]:
+                if not seen[j]:
+                    seen[j] = True
+                    stack.append(int(j))
+        comps.append(np.array(sorted(comp)))
+    return comps
+
+
+def molecule_graph_key(positions, atom_types, dataset_info) -> Optional[str]:
+    """(key_of_largest_fragment, over_valence_ok) for one molecule; returns
+    None when any atom exceeds its maximum allowed valence — mirroring
+    RDKit sanitize's failure mode (under-valence = radical, sanitizes fine)."""
+    x, a, e = build_xae_molecule(positions, atom_types, dataset_info)
+    sym = e + e.T
+    nr_bonds = sym.sum(axis=1)
+    decoder = dataset_info["atom_decoder"]
+    allowed = ba.allowed_bond_table(tuple(decoder))
+    for t, nb in zip(x, nr_bonds):
+        if int(nb) > max(allowed[int(t)]):
+            return None
+    adj = (a | a.T)
+    comps = _connected_components(adj)
+    largest = max(comps, key=len)
+    syms = [decoder[int(t)] for t in x[largest]]
+    return graph_canonical_key(syms, sym[np.ix_(largest, largest)])
+
+
+def compute_dataset_graph_keys(dataset_info, datadir: str) -> List[str]:
+    """WL graph keys of the training set, for fallback novelty (the
+    rdkit-free analogue of compute_dataset_smiles)."""
+    from geoldm_tpu.data.qm9 import load_qm9
+
+    name = dataset_info["name"]
+    splits, _ = load_qm9(datadir, dataset=name, remove_h=not dataset_info["with_h"])
+    train = splits["train"]
+    keys = []
+    for i in range(len(train["num_atoms"])):
+        n = int(train["num_atoms"][i])
+        pos = train["positions"][i, :n]
+        types = np.argmax(train["one_hot"][i, :n], axis=-1)
+        k = molecule_graph_key(pos, types, dataset_info)
+        if k is not None:
+            keys.append(k)
+    return keys
+
+
+def retrieve_qm9_graph_keys(dataset_info, datadir: str = "data", cache_dir: str = "data/cache"):
+    """Cached training-set graph keys (fallback analogue of
+    retrieve_qm9_smiles)."""
+    suffix = "" if dataset_info["with_h"] else "_noH"
+    path = os.path.join(cache_dir, f"{dataset_info['name']}{suffix}_graphkeys.pickle")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    os.makedirs(cache_dir, exist_ok=True)
+    keys = compute_dataset_graph_keys(dataset_info, datadir)
+    with open(path, "wb") as f:
+        pickle.dump(keys, f)
+    return keys
+
+
+class FallbackMolecularMetrics(_MolecularMetricsBase):
+    """RDKit-free validity/uniqueness/novelty from the bond-inference tables.
+
+    Validity: no atom exceeds its max allowed valence. Identity: WL hash of
+    the largest fragment's bond graph. Same evaluate() contract as
+    BasicMolecularMetrics."""
+
+    source = "valence-fallback"
+
+    def __init__(self, dataset_info, dataset_keys_list=None, datadir: str = "data"):
+        self.dataset_info = dataset_info
+        self.dataset_smiles_list = dataset_keys_list
+        if dataset_keys_list is None and "qm9" in dataset_info["name"]:
+            try:
+                self.dataset_smiles_list = retrieve_qm9_graph_keys(dataset_info, datadir)
+            except Exception:
+                self.dataset_smiles_list = None
+
+    def compute_validity(self, generated: Sequence[tuple]):
+        valid = []
+        for positions, atom_types in generated:
+            key = molecule_graph_key(positions, atom_types, self.dataset_info)
+            if key is not None:
+                valid.append(key)
+        return valid, len(valid) / len(generated)
+
+
+def make_molecular_metrics(dataset_info, datadir: str = "data"):
+    """BasicMolecularMetrics when RDKit is installed, else the pure-python
+    fallback (so eval always reports a validity triple)."""
+    if RDKIT_AVAILABLE:
+        return BasicMolecularMetrics(dataset_info, datadir=datadir)
+    return FallbackMolecularMetrics(dataset_info, datadir=datadir)

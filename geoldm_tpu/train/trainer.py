@@ -155,6 +155,7 @@ def analyze_and_save(
     compute_dtype: Optional[str] = None,
     rng: Optional[np.random.Generator] = None,
     mesh=None,
+    datadir: str = "data",
 ):
     """Generate n_samples molecules and compute stability (+rdkit) metrics.
 
@@ -173,6 +174,6 @@ def analyze_and_save(
     )
     molecules = {"one_hot": one_hot, "x": x, "node_mask": node_mask[..., 0]}
     validity_dict, rdkit_tuple = analyze_stability_for_molecules(
-        molecules, dataset_info
+        molecules, dataset_info, datadir=datadir
     )
     return validity_dict, rdkit_tuple, molecules
