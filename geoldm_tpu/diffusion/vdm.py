@@ -210,12 +210,20 @@ def log_pxh_given_z0_without_constants(
     log_p_x_given_z_wc = -0.5 * compute_error(cfg, net_x, eps_x, training)
 
     # Integer part: integrate the Gaussian over +-0.5 around the target.
+    # The CDF difference is a probability mass; f32 erf rounding can make it
+    # (harmlessly) negative by ~1e-7 at extreme arguments, which would turn
+    # the log into NaN — and with this term computed-then-masked for every t
+    # (the t_is_zero select below), a single NaN would poison the whole
+    # batch loss. Clamp at 0 before the epsilon.
     h_integer = jnp.round(h_int * cfg.norm_values[2] + cfg.norm_biases[2])
     est_h_int = z_h_int * cfg.norm_values[2] + cfg.norm_biases[2]
     h_int_centered = h_integer - est_h_int
     log_ph_integer = jnp.log(
-        com.cdf_standard_gaussian((h_int_centered + 0.5) / sigma_0_int)
-        - com.cdf_standard_gaussian((h_int_centered - 0.5) / sigma_0_int)
+        jnp.maximum(
+            com.cdf_standard_gaussian((h_int_centered + 0.5) / sigma_0_int)
+            - com.cdf_standard_gaussian((h_int_centered - 0.5) / sigma_0_int),
+            0.0,
+        )
         + epsilon
     )
     log_ph_integer = com.sum_except_batch(log_ph_integer * node_mask)
@@ -225,8 +233,11 @@ def log_pxh_given_z0_without_constants(
     est_h_cat = z_h_cat * cfg.norm_values[1] + cfg.norm_biases[1]
     centered = est_h_cat - 1.0
     log_ph_cat_prop = jnp.log(
-        com.cdf_standard_gaussian((centered + 0.5) / sigma_0_cat)
-        - com.cdf_standard_gaussian((centered - 0.5) / sigma_0_cat)
+        jnp.maximum(
+            com.cdf_standard_gaussian((centered + 0.5) / sigma_0_cat)
+            - com.cdf_standard_gaussian((centered - 0.5) / sigma_0_cat),
+            0.0,
+        )
         + epsilon
     )
     log_z = jax.nn.logsumexp(log_ph_cat_prop, axis=2, keepdims=True)

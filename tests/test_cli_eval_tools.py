@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from geoldm_tpu.data.datasets_config import get_dataset_info
 from geoldm_tpu.models import factory
 from geoldm_tpu.utils import checkpoint as ckpt

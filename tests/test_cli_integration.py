@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _fake_qm9(tmp_path, n_mols=48, n_max=9, seed=0):
     rng = np.random.default_rng(seed)

@@ -85,6 +85,7 @@ def test_vdm_sample_invariants():
     np.testing.assert_allclose(h_int, np.round(h_int))
 
 
+@pytest.mark.slow
 def test_vdm_sample_fix_noise_broadcast():
     cfg = tiny_model("diffusion")
     params = factory.init_params(jax.random.key(0), cfg)
@@ -100,6 +101,7 @@ def test_vdm_sample_fix_noise_broadcast():
         np.testing.assert_allclose(x[i], x[0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vdm_sample_chain_shape():
     cfg = tiny_model("diffusion")
     params = factory.init_params(jax.random.key(0), cfg)
@@ -118,6 +120,7 @@ def test_vdm_sample_chain_shape():
     )
 
 
+@pytest.mark.slow
 def test_vdm_learned_gamma_loss():
     cfg = tiny_model("diffusion", noise_schedule="learned", loss_type="vlb")
     params = factory.init_params(jax.random.key(0), cfg)
@@ -147,6 +150,7 @@ def test_vdm_learned_gamma_loss():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_vae_loss_and_grads():
     cfg = tiny_model("vae")
     params = factory.init_params(jax.random.key(0), cfg)
@@ -187,6 +191,7 @@ def test_vae_decode_valid_outputs():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ldm_nll_finite_and_frozen_vae_grads():
     cfg = tiny_model("latent_diffusion", latent_nf=2)
     params = factory.init_params(jax.random.key(0), cfg)
@@ -220,6 +225,7 @@ def test_ldm_nll_finite_and_frozen_vae_grads():
     assert dec_g2 > 0.0
 
 
+@pytest.mark.slow
 def test_ldm_sample_and_chain():
     cfg = tiny_model("latent_diffusion", latent_nf=1)
     params = factory.init_params(jax.random.key(0), cfg)
@@ -243,6 +249,7 @@ def test_ldm_sample_and_chain():
     assert np.all(np.isfinite(np.asarray(chain)))
 
 
+@pytest.mark.slow
 def test_factory_nll_and_sample_fns():
     for kind in ["diffusion", "vae", "latent_diffusion"]:
         cfg = tiny_model(kind)
@@ -260,6 +267,7 @@ def test_config_roundtrip():
     assert cfg == cfg2
 
 
+@pytest.mark.slow
 def test_bfloat16_full_sampling_mode():
     """The whole-EGNN bf16 mode samples valid molecules close to the f32 path."""
     cfg = tiny_model("latent_diffusion")
@@ -283,6 +291,7 @@ def test_bfloat16_full_sampling_mode():
     assert np.all(np.isin(np.asarray(hc16), [0.0, 1.0]))
 
 
+@pytest.mark.slow
 def test_bfloat16_mixed_sampling_mode():
     """Mixed-precision schedule (bf16 bulk + f32 tail) samples validly."""
     cfg = tiny_model("latent_diffusion")
@@ -298,6 +307,7 @@ def test_bfloat16_mixed_sampling_mode():
     assert np.all(np.isin(np.asarray(hc), [0.0, 1.0]))
 
 
+@pytest.mark.slow
 def test_fix_noise_with_heterogeneous_sizes():
     """fix_noise with different molecule sizes: padded entries stay zero and
     each sample is CoM-centered under its own mask."""
@@ -319,6 +329,7 @@ def test_fix_noise_with_heterogeneous_sizes():
     np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_learned_gamma_sampling():
     """The learned-gamma network works inside the scanned sampler."""
     cfg = tiny_model("diffusion", noise_schedule="learned", loss_type="vlb",
@@ -333,3 +344,33 @@ def test_learned_gamma_sampling():
     np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-4)
     info = vdm.log_info(cfg.diffusion, params)
     assert info["log_SNR_max"] > info["log_SNR_min"]
+
+
+def test_log_pxh_z0_finite_at_negative_cdf_rounding():
+    """Regression: f32 erf rounding can make the categorical CDF difference
+    (a probability mass) negative by ~1e-7, which turned the log into NaN
+    and — because loss_term_0 is computed-then-masked for every t — poisoned
+    the whole batch loss. The mass must be clamped at 0 before the log.
+
+    The scalar pair below is a found counterexample: with centered=1.390018
+    and sigma_0_cat=0.169883, cdf((c+.5)/s) - cdf((c-.5)/s) = -1.19e-7."""
+    cfg = factory.make_diffusion_model_config(DATASET_INFO).diffusion
+    c, s_cat = 1.390018105506897, 0.16988298296928406
+    sigma_0 = s_cat / cfg.norm_values[1]
+    gamma_0 = jnp.full((1, 1), np.log(sigma_0**2 / (1.0 - sigma_0**2)), jnp.float32)
+
+    n, nc = 1, len(DATASET_INFO["atom_decoder"])
+    node_mask = jnp.ones((1, n, 1))
+    z_cat_val = (c + 1.0) / cfg.norm_values[1]  # est_h_cat*norm - 1 == c
+    z_t = jnp.concatenate(
+        [jnp.zeros((1, n, 3)), jnp.full((1, n, nc), z_cat_val), jnp.zeros((1, n, 1))],
+        axis=2,
+    )
+    h_cat = jax.nn.one_hot(jnp.zeros((1, n), jnp.int32), nc)
+    h_int = jnp.zeros((1, n, 1))
+    eps = jnp.zeros_like(z_t)
+    net_out = jnp.zeros_like(z_t)
+    out = vdm.log_pxh_given_z0_without_constants(
+        cfg, h_cat, h_int, z_t, gamma_0, eps, net_out, node_mask, training=True
+    )
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -1,8 +1,11 @@
 """GNN-dynamics ablation mode end-to-end (reference --model gnn_dynamics)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 from geoldm_tpu.data.datasets_config import get_dataset_info
 from geoldm_tpu.diffusion import vdm

@@ -33,8 +33,15 @@ def make_inputs(key, b=2, n=8, in_nf=6, n_real=(5, 8)):
     return h, x, node_mask
 
 
-@pytest.mark.parametrize("sin_emb", [False, True])
-@pytest.mark.parametrize("inv_sublayers", [1, 2])
+@pytest.mark.parametrize(
+    "sin_emb,inv_sublayers",
+    [
+        (False, 1),
+        pytest.param(True, 1, marks=pytest.mark.slow),
+        pytest.param(False, 2, marks=pytest.mark.slow),
+        (True, 2),
+    ],
+)
 def test_pallas_matches_xla(sin_emb, inv_sublayers):
     cfg = cfg_of(sin_embedding=sin_emb, inv_sublayers=inv_sublayers)
     params = egnn_init(jax.random.key(0), cfg)

@@ -35,6 +35,7 @@ def test_sample_orchestration():
     assert np.abs(x * (1 - node_mask)).max() == 0.0
 
 
+@pytest.mark.slow
 def test_sample_chain_orchestration():
     cfg = tiny_cfg()
     params = factory.init_params(jax.random.key(0), cfg)
@@ -47,6 +48,7 @@ def test_sample_chain_orchestration():
     np.testing.assert_allclose(x[-1], x[-5], atol=0)
 
 
+@pytest.mark.slow
 def test_conditional_sampling_with_prop_dist():
     cfg = tiny_cfg(context_node_nf=2)
     params = factory.init_params(jax.random.key(0), cfg)
@@ -155,6 +157,7 @@ def test_visualizer_render_and_gif(tmp_path):
     assert all(os.path.exists(p) for p in pngs)
 
 
+@pytest.mark.slow
 def test_sample_bucketed():
     cfg = tiny_cfg_bucketed = tiny_cfg()
     params = factory.init_params(jax.random.key(0), cfg)

@@ -72,6 +72,7 @@ def test_train_steps_descend():
     assert max(float(x) for x in jax.tree.leaves(d)) > 0
 
 
+@pytest.mark.slow
 def test_frozen_vae_params_unchanged():
     cfg = tiny_cfg()  # trainable_ae=False
     tc = TrainConfig(lr=1e-2, ema_decay=0.0)
@@ -91,6 +92,7 @@ def test_frozen_vae_params_unchanged():
     assert np.max(np.abs(dyn_after - dyn_before)) > 0
 
 
+@pytest.mark.slow
 def test_eval_nll_runs():
     cfg = tiny_cfg()
     tc = TrainConfig()
@@ -128,6 +130,7 @@ def _run_one_step(mesh, tp_hidden=None):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dp_matches_single_device():
     ref_state, ref_metrics = _run_one_step(None)
     mesh = shd.make_mesh(dp=8, tp=1)
@@ -141,6 +144,7 @@ def test_dp_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dp_tp_matches_single_device():
     ref_state, ref_metrics = _run_one_step(None)
     mesh = shd.make_mesh(dp=4, tp=2)
