@@ -43,9 +43,68 @@ def save_checkpoint(path: str, state: Any, cfg: Any = None, name: str = "state")
     return target
 
 
-def load_checkpoint(path: str, template: Any, name: str = "state") -> Any:
+def validate_against_template(path: str, template: Any, name: str = "state") -> None:
+    """Cross-check the stored checkpoint's tree structure/shapes/dtypes
+    against the restore template BEFORE orbax touches the data, so a config
+    mismatch (wrong --nf / n_layers / model kind, edited config.json)
+    surfaces as one readable error instead of a raw orbax traceback."""
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        meta = ckptr.metadata(os.path.join(os.path.abspath(path), name))
+        meta_tree = meta.item_metadata.tree
+    except Exception:
+        return  # older/foreign checkpoint without readable metadata
+
+    def _norm(path) -> str:
+        # orbax metadata renders tuples/NamedTuples as dicts keyed by index/
+        # field name; normalize both sides to "a/b/0/w"-style strings.
+        parts = []
+        for e in path:
+            for attr in ("key", "idx", "name"):
+                if hasattr(e, attr):
+                    parts.append(str(getattr(e, attr)))
+                    break
+            else:
+                parts.append(str(e))
+        return "/".join(parts)
+
+    def _flat(tree):
+        return {
+            _norm(p): leaf
+            for p, leaf in jax.tree_util.tree_leaves_with_path(tree)
+        }
+
+    got = _flat(meta_tree)
+    want = _flat(jax.tree.map(np.asarray, template))
+    problems = []
+    for k in sorted(set(want) | set(got)):
+        if k not in got:
+            problems.append(f"  missing in checkpoint: {k} "
+                            f"(template {want[k].shape} {want[k].dtype})")
+        elif k not in want:
+            problems.append(f"  unexpected in checkpoint: {k} "
+                            f"({tuple(got[k].shape)} {got[k].dtype})")
+        elif tuple(got[k].shape) != tuple(want[k].shape):
+            problems.append(f"  shape mismatch at {k}: checkpoint "
+                            f"{tuple(got[k].shape)} vs template {tuple(want[k].shape)}")
+    if problems:
+        shown = problems[:12]
+        more = f"\n  ... and {len(problems) - 12} more" if len(problems) > 12 else ""
+        raise ValueError(
+            f"checkpoint at {path!r} ({name}) does not match the model you are "
+            f"restoring into — it was saved with a different config "
+            f"(check config.json next to the checkpoint vs your flags):\n"
+            + "\n".join(shown) + more
+        )
+
+
+def load_checkpoint(path: str, template: Any, name: str = "state",
+                    validate: bool = True) -> Any:
     """Restore a pytree saved by save_checkpoint; template supplies the
     structure (e.g. a freshly initialized TrainState)."""
+    if validate:
+        validate_against_template(path, template, name)
     ocp = _ocp()
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
