@@ -202,7 +202,7 @@ def test_fallback_largest_fragment_key():
     assert rm.molecule_graph_key(*water_and_far_h, INFO) == rm.molecule_graph_key(*WATER, INFO)
 
 
-def test_analyze_reports_triple_without_rdkit():
+def test_analyze_reports_triple_without_rdkit(tmp_path):
     """analyze_stability_for_molecules always returns a validity triple even
     without rdkit installed (the fallback path)."""
     from geoldm_tpu.evalsuite import analyze as an
@@ -216,8 +216,10 @@ def test_analyze_reports_triple_without_rdkit():
         x[i, :m] = pos
         one_hot[i, np.arange(m), types] = 1.0
         node_mask[i, :m] = 1.0
+    # tmp datadir: hermetic — no training-set cache, so novelty must be 0.
     validity, triple = an.analyze_stability_for_molecules(
-        {"x": x, "one_hot": one_hot, "node_mask": node_mask}, INFO
+        {"x": x, "one_hot": one_hot, "node_mask": node_mask}, INFO,
+        datadir=str(tmp_path),
     )
     assert triple is not None
     (v, u, nov), unique = triple
