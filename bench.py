@@ -1,4 +1,4 @@
-"""Benchmark: QM9 GeoLDM sampling throughput at 1000 diffusion steps.
+"""Benchmark: QM9 GeoLDM sampling throughput at 1000 diffusion steps + MFU.
 
 North-star metric (BASELINE.md): generate 10k QM9 molecules through the
 full latent-diffusion reverse process (T=1000, nf=256, 9-layer EGNN denoiser,
@@ -10,7 +10,10 @@ small molecules don't pay the max-size O(N^2) edge cost. Weights are random
 — throughput does not depend on training. Prints one JSON line:
 
   {"metric": "qm9_sample_mol_per_sec", "value": ..., "unit": "mol/s",
-   "vs_baseline": value / 16.67}
+   "vs_baseline": value / 16.67,
+   "mfu": sampling model-FLOP/s over bf16 peak (matmul FLOPs only),
+   "train_steps_per_sec": ..., "device_ms_per_step": ...,
+   "train_mfu": ...}  # flagship LDM train step, bs 64, pad 32
 
 Env knobs:
   GEOLDM_BENCH_TOTAL  molecules to time (default 1000)
@@ -22,6 +25,10 @@ Env knobs:
                       bf16 EGNN for 90% of steps, f32 for the final 10% +
                       decode; schedule/CoM algebra always f32)
   GEOLDM_BENCH_FLAT   set to 1 to disable bucketing (pad everything to 32)
+  GEOLDM_BENCH_TRAIN  set to 0 to skip the training-step timing
+  GEOLDM_BENCH_DATASET qm9 (default) | geom — geom benches the GEOM-Drugs
+                      recipe (nf 256, 4 layers, latent_nf 2, pad 184,
+                      remat on, bs 32) and renames the metric accordingly
 """
 
 from __future__ import annotations
@@ -36,6 +43,99 @@ import numpy as np
 TARGET_MOL_PER_SEC = 10_000 / 600.0  # 10k molecules / 10 minutes
 
 
+def _bucket_pads(nodesxsample: np.ndarray, buckets) -> np.ndarray:
+    """Pad each molecule lands on in sample_bucketed (8-aligned buckets)."""
+    buckets = tuple(sorted(set(-(-int(b) // 8) * 8 for b in buckets)))
+    need = -(-int(nodesxsample.max()) // 8) * 8
+    if buckets[-1] < need:
+        buckets = buckets + (need,)
+    return np.array(buckets)[np.searchsorted(buckets, nodesxsample)]
+
+
+def _bench_train(cfg, train_batch_size: int, pad: int, device_kind: str):
+    """Time the flagship jitted train step (bs x pad, trainable_ae, remat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoldm_tpu.config import TrainConfig
+    from geoldm_tpu.train import train_step as ts
+    from geoldm_tpu.utils import flops as flops_mod
+
+    train_cfg = TrainConfig(compute_dtype="float32")
+    state, tx = ts.create_train_state(jax.random.key(0), cfg, train_cfg)
+    step_fn = jax.jit(ts.make_train_step(cfg, train_cfg, tx))
+
+    b, n = train_batch_size, pad
+    rng = np.random.default_rng(0)
+    sizes = rng.integers(max(3, n // 2), n + 1, size=b)
+    node_mask = (np.arange(n)[None, :] < sizes[:, None]).astype(np.float32)
+    x = rng.standard_normal((b, n, 3)).astype(np.float32) * node_mask[..., None]
+    x -= x.sum(1, keepdims=True) / sizes[:, None, None]
+    x *= node_mask[..., None]
+    num_classes = cfg.vae.num_classes if cfg.vae else cfg.diffusion.num_classes
+    h_cat = np.eye(num_classes, dtype=np.float32)[
+        rng.integers(0, num_classes, size=(b, n))
+    ] * node_mask[..., None]
+    edge_mask = node_mask[:, :, None] * node_mask[:, None, :]
+    edge_mask *= 1.0 - np.eye(n, dtype=np.float32)[None]
+    batch = {
+        "x": jnp.asarray(x),
+        "h_cat": jnp.asarray(h_cat),
+        "h_int": jnp.asarray(
+            rng.integers(1, 9, size=(b, n, 1)).astype(np.float32)
+            * node_mask[..., None]
+        ),
+        "node_mask": jnp.asarray(node_mask[..., None]),
+        "edge_mask": jnp.asarray(edge_mask[..., None]),
+        "log_pN": jnp.asarray(rng.standard_normal(b).astype(np.float32)),
+    }
+
+    key = jax.random.key(1)
+    t0 = time.perf_counter()
+    state, _ = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
+    print(f"# train-step compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # Host-loop throughput (what a user's training loop sees; includes
+    # per-step dispatch, which the axon tunnel inflates in this env).
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    host_ms = 1000.0 * (time.perf_counter() - t0) / n_steps
+    print(f"# train host-loop: {host_ms:.1f} ms/step (incl. dispatch)", file=sys.stderr)
+
+    # Device time: K steps scanned inside ONE jitted program — no dispatch.
+    raw_step = ts.make_train_step(cfg, train_cfg, tx)
+
+    @jax.jit
+    def multi_step(state, batch, key):
+        def body(st, i):
+            st, m = raw_step(st, batch, jax.random.fold_in(key, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+    state2, _ = multi_step(state, batch, key)
+    jax.block_until_ready(state2.params)
+    t0 = time.perf_counter()
+    state2, _ = multi_step(state, batch, key)
+    jax.block_until_ready(state2.params)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / elapsed
+    ms_per_step = 1000.0 * elapsed / n_steps
+    step_flops = b * flops_mod.train_step_flops(cfg, n)
+    train_mfu = flops_mod.mfu(step_flops * n_steps, elapsed, device_kind)
+    print(
+        f"# train: {steps_per_sec:.1f} steps/s ({ms_per_step:.1f} ms/step, "
+        f"bs={b}, pad={n}, mfu={train_mfu if train_mfu is None else round(train_mfu, 4)})",
+        file=sys.stderr,
+    )
+    return steps_per_sec, ms_per_step, train_mfu
+
+
 def main() -> None:
     import jax
 
@@ -43,22 +143,43 @@ def main() -> None:
     from geoldm_tpu.models import factory
     from geoldm_tpu.models.distributions import DistributionNodes
     from geoldm_tpu.train import sampling as sampling_mod
+    from geoldm_tpu.utils import flops as flops_mod
 
+    dataset = os.environ.get("GEOLDM_BENCH_DATASET", "qm9")
     total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
     batch = int(os.environ.get("GEOLDM_BENCH_BATCH", "250"))
     steps = int(os.environ.get("GEOLDM_BENCH_STEPS", "1000"))
     dtype_name = os.environ.get("GEOLDM_BENCH_DTYPE", "bfloat16_mixed")
     flat = os.environ.get("GEOLDM_BENCH_FLAT", "0") == "1"
+    bench_train = os.environ.get("GEOLDM_BENCH_TRAIN", "1") == "1"
 
-    info = get_dataset_info("qm9")
-    cfg = factory.make_latent_diffusion_config(
-        info, nf=256, n_layers=9, latent_nf=1, diffusion_steps=steps,
+    if dataset == "geom":
+        # GEOM-Drugs recipe (reference README.md:30): nf 256, 4 layers,
+        # latent_nf 2, bs 32; N_max=181 -> pad 184. Remat keeps the
+        # backward in HBM at N=184.
+        info = get_dataset_info("geom")
+        model_kw = dict(nf=256, n_layers=4, latent_nf=2, diffusion_steps=steps)
+        cfg = factory.make_latent_diffusion_config(info, **model_kw)
+        buckets = (184,) if flat else (48, 88, 184)
+        train_bs, train_pad = 32, 184
+        metric = "geom_sample_mol_per_sec"
+    else:
+        info = get_dataset_info("qm9")
+        model_kw = dict(nf=256, n_layers=9, latent_nf=1, diffusion_steps=steps)
+        cfg = factory.make_latent_diffusion_config(info, **model_kw)
+        buckets = (32,) if flat else (16, 24, 32)
+        train_bs, train_pad = 64, 32
+        metric = "qm9_sample_mol_per_sec"
+    # Training benches the flagship recipe: trainable decoder + remat (the
+    # backward at these shapes OOMs HBM without remat).
+    train_model_cfg = factory.make_latent_diffusion_config(
+        info, trainable_ae=True, remat=True, **model_kw
     )
+
+    device_kind = jax.devices()[0].device_kind
     params = factory.init_params(jax.random.key(0), cfg)
     nodes_dist = DistributionNodes(info.n_nodes)
     rng = np.random.default_rng(0)
-
-    buckets = (32,) if flat else (16, 24, 32)
 
     def generate(key, nodesxsample):
         return sampling_mod.sample_bucketed(
@@ -82,17 +203,38 @@ def main() -> None:
     mol_per_sec = total / elapsed
     # Normalize to the canonical T=1000 protocol if steps were reduced.
     mol_per_sec_1000 = mol_per_sec * (steps / 1000.0)
+    # Sampling MFU: analytic matmul FLOPs of every molecule at the pad it
+    # actually ran at, over the chip's bf16 peak.
+    pads = _bucket_pads(nodesxsample, buckets)
+    sample_flops = sum(
+        int(c) * flops_mod.sample_flops(cfg, int(p))
+        for p, c in zip(*np.unique(pads, return_counts=True))
+    )
+    sampling_mfu = flops_mod.mfu(sample_flops, elapsed, device_kind)
     print(
         f"# sampled {total} molecules (T={steps}, dtype={dtype_name}, "
-        f"buckets={buckets}) in {elapsed:.1f}s on {jax.devices()[0].device_kind}",
+        f"buckets={buckets}) in {elapsed:.1f}s on {device_kind}"
+        + (f", mfu={sampling_mfu:.4f}" if sampling_mfu is not None else ""),
         file=sys.stderr,
     )
+
     result = {
-        "metric": "qm9_sample_mol_per_sec",
+        "metric": metric,
         "value": round(mol_per_sec_1000, 3),
         "unit": "mol/s",
         "vs_baseline": round(mol_per_sec_1000 / TARGET_MOL_PER_SEC, 3),
+        "mfu": None if sampling_mfu is None else round(sampling_mfu, 4),
+        "device": device_kind,
     }
+    if bench_train:
+        steps_per_sec, ms_per_step, train_mfu = _bench_train(
+            train_model_cfg, train_bs, train_pad, device_kind
+        )
+        result.update(
+            train_steps_per_sec=round(steps_per_sec, 2),
+            device_ms_per_step=round(ms_per_step, 2),
+            train_mfu=None if train_mfu is None else round(train_mfu, 4),
+        )
     print(json.dumps(result))
 
 
