@@ -31,7 +31,17 @@ class DistributionNodes:
         return self.n_nodes[idx]
 
     def log_prob(self, batch_n_nodes: Sequence[int]) -> np.ndarray:
-        idcs = np.array([self._idx_of[int(n)] for n in np.asarray(batch_n_nodes)])
+        ns = np.asarray(batch_n_nodes)
+        unseen = sorted({int(n) for n in ns.ravel()} - self._idx_of.keys())
+        if unseen:
+            raise ValueError(
+                f"molecule sizes {unseen} are not in the dataset's n_nodes "
+                f"histogram (known: {int(self.n_nodes.min())}.."
+                f"{int(self.n_nodes.max())}, {len(self.n_nodes)} sizes); "
+                "log p(N) is undefined for them — check that the data was "
+                "built with the matching dataset_info"
+            )
+        idcs = np.array([self._idx_of[int(n)] for n in ns])
         return np.log(self.probs + 1e-30)[idcs]
 
 

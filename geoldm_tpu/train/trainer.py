@@ -167,13 +167,18 @@ def analyze_and_save(
     # bucket boundary, cutting the O(N^2) edge work (~2x on QM9).
     max_n = pad_nodes or dataset_info["max_n_nodes"]
     buckets = tuple(b for b in sampling_mod.DEFAULT_SAMPLE_BUCKETS if b < max_n) + (max_n,)
+    t0 = time.time()
     one_hot, charges, x, node_mask = sampling_mod.sample_bucketed(
         model_cfg, params, key, dataset_info, nodesxsample,
         batch_size=batch_size, buckets=buckets, prop_dist=prop_dist,
         compute_dtype=compute_dtype, rng=rng, mesh=mesh,
     )
+    t_gen = time.time() - t0
     molecules = {"one_hot": one_hot, "x": x, "node_mask": node_mask[..., 0]}
+    t0 = time.time()
     validity_dict, rdkit_tuple = analyze_stability_for_molecules(
         molecules, dataset_info, datadir=datadir
     )
+    print(f"  [analyze_and_save] generation {t_gen:.1f}s, "
+          f"analysis {time.time() - t0:.1f}s for {n_samples} molecules")
     return validity_dict, rdkit_tuple, molecules

@@ -27,12 +27,20 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def fabricate_qm9(datadir: str, counts: dict, n_max: int = 29, seed: int = 0) -> None:
+    # Sizes are drawn from the REAL QM9 n_nodes histogram so batch shapes
+    # and log p(N) lookups behave exactly as on real data.
+    from geoldm_tpu.data.datasets_config import get_dataset_info
+    from geoldm_tpu.models.distributions import DistributionNodes
+
+    nodes_dist = DistributionNodes(get_dataset_info("qm9").n_nodes)
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(datadir, "qm9"), exist_ok=True)
     for split, m in counts.items():
-        num_atoms = rng.integers(3, n_max + 1, size=m)
+        num_atoms = nodes_dist.sample(m, rng)
         charges = np.zeros((m, n_max), dtype=np.int64)
         positions = np.zeros((m, n_max, 3), dtype=np.float32)
         for i, n in enumerate(num_atoms):

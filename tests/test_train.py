@@ -155,3 +155,15 @@ def test_dp_tp_matches_single_device():
     a = np.asarray(ref_state.params["dynamics"]["egnn"]["embedding"]["w"])
     b = np.asarray(tp_state.params["dynamics"]["egnn"]["embedding"]["w"])
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_nodes_dist_log_prob_unseen_size_readable_error():
+    """log p(N) for a size absent from the histogram raises a readable
+    ValueError instead of a raw KeyError (found by the 10k eval protocol
+    on fabricated data containing 28-atom molecules; real QM9 has none)."""
+    nodes_dist = DistributionNodes({4: 10, 5: 20, 7: 5})
+    np.testing.assert_allclose(
+        nodes_dist.log_prob([5, 4]), np.log(np.array([20, 10]) / 35.0), rtol=1e-6
+    )
+    with pytest.raises(ValueError, match="not in the dataset's n_nodes"):
+        nodes_dist.log_prob([5, 6])
