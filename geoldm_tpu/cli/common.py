@@ -136,6 +136,10 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     import jax
     import jax.numpy as jnp
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.config import TrainConfig
     from geoldm_tpu.data.qm9 import QM9Loader
     from geoldm_tpu.models.distributions import DistributionNodes, DistributionProperty

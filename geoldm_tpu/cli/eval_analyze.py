@@ -23,6 +23,11 @@ def parse_args(argv=None):
     p.add_argument("--model_path", type=str, required=True)
     p.add_argument("--n_samples", type=int, default=10_000)
     p.add_argument("--batch_size_gen", type=int, default=100)
+    p.add_argument("--batch_size_nll", type=int, default=64,
+                   help="NLL-pass batch size; kept small because XLA compile "
+                        "time of the t0_always program grows superlinearly "
+                        "with batch at unaligned pad (362s at 250 vs 6s at "
+                        "64 on v5e through the remote-compile tunnel)")
     p.add_argument("--dataset", type=str, default="qm9")
     p.add_argument("--datadir", type=str, default="data")
     p.add_argument("--remove_h", action="store_true")
@@ -41,11 +46,14 @@ def main(argv=None) -> None:
     import jax
     import numpy as np
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.data.datasets_config import get_dataset_info
     from geoldm_tpu.models import factory
     from geoldm_tpu.models.distributions import DistributionNodes
     from geoldm_tpu.train import trainer as trainer_mod
-    from geoldm_tpu.train.train_step import make_eval_nll
     from geoldm_tpu.utils import checkpoint as ckpt
 
     model_cfg = ckpt.load_config(args.model_path)
@@ -86,30 +94,29 @@ def main(argv=None) -> None:
 
     nll_val = nll_test = None
     if not args.skip_nll:
-        from geoldm_tpu.data.qm9 import QM9Loader, load_qm9
+        from geoldm_tpu.data.qm9 import load_qm9
 
         splits, _ = load_qm9(args.datadir, dataset=args.dataset, remove_h=args.remove_h)
-        loaders = {
-            s: QM9Loader(d, batch_size=args.batch_size_gen,
-                         pad_nodes=dataset_info.max_n_nodes, shuffle=False)
-            for s, d in splits.items()
-        }
-        eval_nll = jax.jit(make_eval_nll(model_cfg))
+        # Device-resident NLL: each pass is ONE dispatch over the staged
+        # split (the per-batch loader path pays a host->device transfer per
+        # batch — ~0.4s/batch through a remote tunnel).
+        t_nll = time.time()
         key, vk = jax.random.split(key)
-        nll_val = trainer_mod.evaluate_nll(
-            params, eval_nll, loaders["valid"], nodes_dist, vk, partition="valid"
+        nll_val = trainer_mod.evaluate_nll_packed(
+            params, model_cfg, splits["valid"], nodes_dist, vk,
+            batch_size=args.batch_size_nll,
+            pad_nodes=dataset_info.max_n_nodes, partition="valid",
+        )[0]
+        key, tk = jax.random.split(key)
+        tests = trainer_mod.evaluate_nll_packed(
+            params, model_cfg, splits["test"], nodes_dist, tk,
+            batch_size=args.batch_size_nll,
+            pad_nodes=dataset_info.max_n_nodes,
+            n_passes=args.n_test_passes, partition="test",
         )
-        tests = []
-        for i in range(args.n_test_passes):
-            key, tk = jax.random.split(key)
-            tests.append(
-                trainer_mod.evaluate_nll(
-                    params, eval_nll, loaders["test"], nodes_dist, tk,
-                    partition=f"test[{i}]",
-                )
-            )
         nll_test = float(np.mean(tests))
-        print(f"final test NLL: {nll_test:.4f} (+/- {np.std(tests):.4f})")
+        print(f"final test NLL: {nll_test:.4f} (+/- {np.std(tests):.4f}); "
+              f"NLL phase {time.time() - t_nll:.1f}s")
 
     with open(os.path.join(args.model_path, "eval_log.txt"), "w") as f:
         f.write(f"n_samples {n_done}\n")

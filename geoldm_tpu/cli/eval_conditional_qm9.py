@@ -52,6 +52,10 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.data.datasets_config import get_dataset_info
     from geoldm_tpu.data.qm9 import QM9Loader, load_qm9
     from geoldm_tpu.models import classifier as clf

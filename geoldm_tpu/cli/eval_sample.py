@@ -32,6 +32,10 @@ def main(argv=None) -> None:
     import jax
     import numpy as np
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.data.datasets_config import get_dataset_info
     from geoldm_tpu.evalsuite import visualizer as viz
     from geoldm_tpu.evalsuite.analyze import check_stability

@@ -40,6 +40,10 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     import jax.numpy as jnp
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.data.datasets_config import get_dataset_info
     from geoldm_tpu.data.qm9 import QM9Loader, load_qm9
     from geoldm_tpu.train import classifier_train as ct

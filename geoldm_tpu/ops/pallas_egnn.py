@@ -60,11 +60,14 @@ def _matmul(a, w, compute_dtype, out_dtype=None):
 
 def _sin_features(radial):
     """Sinusoidal distance features from d^2, built with static Python-float
-    frequencies (Pallas kernels cannot capture array constants)."""
+    frequencies (Pallas kernels cannot capture array constants).
+
+    Gradients are stopped, matching the reference's .detach()
+    (egnn/egnn_new.py:246) and ops/distance.sin_embedding."""
     d = jnp.sqrt(radial + 1e-8)
     sins = [jnp.sin(d * float(f)) for f in _FREQUENCIES]
     coss = [jnp.cos(d * float(f)) for f in _FREQUENCIES]
-    return jnp.concatenate(sins + coss, axis=-1)
+    return jax.lax.stop_gradient(jnp.concatenate(sins + coss, axis=-1))
 
 
 def _dist_features(x, sin_embedding: bool):
@@ -76,128 +79,186 @@ def _dist_features(x, sin_embedding: bool):
     return _sin_features(radial)
 
 
-def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype, group: int):
-    """Kernel closure for a given (static) config and node count.
+def _block_math(cfg: EGNNConfig, n: int, group: int, compute_dtype,
+                ws: list, h, x, x0, node_mask):
+    """Pure math of one EquivariantBlock on a group of molecules.
 
-    ``group`` molecules are processed per grid step: node matmuls become
-    [G*N, H] and edge matmuls [G*N*N, H] contractions, amortizing grid-step
-    overhead and filling the MXU."""
+    Shared by the forward kernel body and the fused backward kernel (which
+    differentiates this very function with ``jax.vjp`` inside the kernel —
+    residuals live in VMEM, never HBM). ``ws`` is the flat weight list in
+    ``_block_weight_list`` order. h [G,N,H], x/x0 [G,N,3], mask [G,N,1]."""
     n_gcl = cfg.inv_sublayers
     attention = cfg.attention
     hidden = cfg.hidden_nf
     e_feat = cfg.edge_feat_nf
     g_ = group
 
-    def kernel(*refs):
-        # Layout: [h, x, x0, node_mask] + per-gcl weights + coord weights,
-        # then outputs [h_out, x_out].
-        it = iter(refs)
-        h_ref = next(it)
-        x_ref = next(it)
-        x0_ref = next(it)
-        mask_ref = next(it)
-        gcl_ws = [
-            {
-                "w1": next(it), "b1": next(it), "w2": next(it), "b2": next(it),
-                **({"wa": next(it), "ba": next(it)} if attention else {}),
-                "wn1": next(it), "bn1": next(it), "wn2": next(it), "bn2": next(it),
-            }
-            for _ in range(n_gcl)
-        ]
-        cw = {"w1": next(it), "b1": next(it), "w2": next(it), "b2": next(it),
-              "w3": next(it)}
-        h_out_ref = next(it)
-        x_out_ref = next(it)
+    it = iter(ws)
+    gcl_ws = [
+        {
+            "w1": next(it), "b1": next(it), "w2": next(it), "b2": next(it),
+            **({"wa": next(it), "ba": next(it)} if attention else {}),
+            "wn1": next(it), "bn1": next(it), "wn2": next(it), "bn2": next(it),
+        }
+        for _ in range(n_gcl)
+    ]
+    cw = {"w1": next(it), "b1": next(it), "w2": next(it), "b2": next(it),
+          "w3": next(it)}
 
-        h = h_ref[:]  # [G, N, H]
-        x = x_ref[:]  # [G, N, 3]
-        x0 = x0_ref[:]
-        node_mask = mask_ref[:]  # [G, N, 1]
+    # Masks: edge = outer(node) minus diagonal, per molecule.
+    pair_mask = node_mask * node_mask[:, :, 0][:, None, :]  # [G, N, N]
+    eye = jnp.eye(n, dtype=pair_mask.dtype)[None]
+    edge_mask = (pair_mask * (1.0 - eye))[..., None]  # [G, N, N, 1]
 
-        # Masks: edge = outer(node) minus diagonal, per molecule.
-        pair_mask = node_mask * node_mask[:, :, 0][:, None, :]  # [G, N, N]
-        eye = jnp.eye(n, dtype=pair_mask.dtype)[None]
-        edge_mask = (pair_mask * (1.0 - eye))[..., None]  # [G, N, N, 1]
+    # Distance features: current-x (block) + initial-x (global).
+    diff = x[:, :, None, :] - x[:, None, :, :]  # [G, N, N, 3]
+    radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    norm = jnp.sqrt(radial + 1e-8)
+    coord_diff = diff / (norm + cfg.norm_constant)
+    if cfg.sin_embedding:
+        dist_feat = _sin_features(radial)
+    else:
+        dist_feat = radial
+    diff0 = x0[:, :, None, :] - x0[:, None, :, :]
+    radial0 = jnp.sum(diff0 * diff0, axis=-1, keepdims=True)
+    e0 = _sin_features(radial0) if cfg.sin_embedding else radial0
+    eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [G, N, N, E]
+    eattr2 = eattr.reshape(g_ * n * n, e_feat)
 
-        # Distance features: current-x (block) + initial-x (global).
-        diff = x[:, :, None, :] - x[:, None, :, :]  # [G, N, N, 3]
-        radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
-        norm = jnp.sqrt(radial + 1e-8)
-        coord_diff = diff / (norm + cfg.norm_constant)
-        if cfg.sin_embedding:
-            dist_feat = _sin_features(radial)
-        else:
-            dist_feat = radial
-        diff0 = x0[:, :, None, :] - x0[:, None, :, :]
-        radial0 = jnp.sum(diff0 * diff0, axis=-1, keepdims=True)
-        e0 = _sin_features(radial0) if cfg.sin_embedding else radial0
-        eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [G, N, N, E]
-        eattr2 = eattr.reshape(g_ * n * n, e_feat)
+    # NOTE: running the edge pipeline in bf16 (halved VMEM + VPU work)
+    # currently trips Mosaic verification errors on bf16 broadcasts /
+    # matmul outputs in this toolchain, and measurements show the kernel
+    # is not MXU-bound, so bf16 here is limited to matmul operand
+    # casting (edge activations stay f32).
+    edge_dtype = None
 
-        # NOTE: running the edge pipeline in bf16 (halved VMEM + VPU work)
-        # currently trips Mosaic verification errors on bf16 broadcasts /
-        # matmul outputs in this toolchain, and measurements show the kernel
-        # is not MXU-bound, so bf16 here is limited to matmul operand
-        # casting (edge activations stay f32).
-        edge_dtype = None
+    def edge_pre(h_, w1, b1):
+        """First edge-MLP layer without materializing [h_i, h_j] concat."""
+        w_src = w1[:hidden]
+        w_dst = w1[hidden : 2 * hidden]
+        w_e = w1[2 * hidden :]
+        h2 = h_.reshape(g_ * n, hidden)
+        src = _matmul(h2, w_src, compute_dtype, edge_dtype).reshape(g_, n, hidden)
+        dst = _matmul(h2, w_dst, compute_dtype, edge_dtype).reshape(g_, n, hidden)
+        pre = src[:, :, None, :] + dst[:, None, :, :]  # [G, N, N, H]
+        pre = pre.reshape(g_ * n * n, hidden) + _matmul(
+            eattr2, w_e, compute_dtype, edge_dtype
+        )
+        b1_ = b1.astype(pre.dtype) if edge_dtype is not None else b1
+        return pre + b1_
 
-        def edge_pre(h_, w1, b1):
-            """First edge-MLP layer without materializing [h_i, h_j] concat."""
-            w_src = w1[:hidden]
-            w_dst = w1[hidden : 2 * hidden]
-            w_e = w1[2 * hidden :]
-            h2 = h_.reshape(g_ * n, hidden)
-            src = _matmul(h2, w_src, compute_dtype, edge_dtype).reshape(g_, n, hidden)
-            dst = _matmul(h2, w_dst, compute_dtype, edge_dtype).reshape(g_, n, hidden)
-            pre = src[:, :, None, :] + dst[:, None, :, :]  # [G, N, N, H]
-            pre = pre.reshape(g_ * n * n, hidden) + _matmul(
-                eattr2, w_e, compute_dtype, edge_dtype
-            )
-            b1_ = b1.astype(pre.dtype) if edge_dtype is not None else b1
-            return pre + b1_
+    def cast_b(b_, like):
+        return b_.astype(like.dtype) if edge_dtype is not None else b_
 
-        def cast_b(b_, like):
-            return b_.astype(like.dtype) if edge_dtype is not None else b_
-
-        for g in gcl_ws:
-            pre = edge_pre(h, g["w1"][:], g["b1"][:])
-            mm = _matmul(_silu(pre), g["w2"][:], compute_dtype, edge_dtype)
-            m = _silu(mm + cast_b(g["b2"][:], mm))
-            if attention:
-                am = _matmul(m, g["wa"][:], compute_dtype, edge_dtype)
-                m = m * jax.nn.sigmoid(am + cast_b(g["ba"][:], am))
-            m = m.astype(jnp.float32).reshape(g_, n, n, hidden) * edge_mask
-            agg = jnp.sum(m, axis=2)  # [G, N, H]
-            if cfg.aggregation_method == "sum":
-                agg = agg / cfg.normalization_factor
-            else:
-                agg = agg / n
-            node_in = jnp.concatenate([h, agg], axis=-1).reshape(g_ * n, 2 * hidden)
-            upd = _matmul(
-                _silu(_matmul(node_in, g["wn1"][:], compute_dtype) + g["bn1"][:]),
-                g["wn2"][:], compute_dtype,
-            ) + g["bn2"][:]
-            h = (h + upd.reshape(g_, n, hidden)) * node_mask
-
-        # Equivariant coordinate update.
-        pre = edge_pre(h, cw["w1"][:], cw["b1"][:])
-        mm = _matmul(_silu(pre), cw["w2"][:], compute_dtype, edge_dtype)
-        mid = _silu(mm + cast_b(cw["b2"][:], mm))
-        s = _matmul(mid, cw["w3"][:], compute_dtype).astype(jnp.float32)  # [G*N*N, 1]
-        if cfg.tanh:
-            s = jnp.tanh(s) * cfg.coords_range_layer
-        trans = coord_diff * s.reshape(g_, n, n, 1) * edge_mask
-        aggx = jnp.sum(trans, axis=2)
+    for g in gcl_ws:
+        pre = edge_pre(h, g["w1"], g["b1"])
+        mm = _matmul(_silu(pre), g["w2"], compute_dtype, edge_dtype)
+        m = _silu(mm + cast_b(g["b2"], mm))
+        if attention:
+            am = _matmul(m, g["wa"], compute_dtype, edge_dtype)
+            m = m * jax.nn.sigmoid(am + cast_b(g["ba"], am))
+        m = m.astype(jnp.float32).reshape(g_, n, n, hidden) * edge_mask
+        agg = jnp.sum(m, axis=2)  # [G, N, H]
         if cfg.aggregation_method == "sum":
-            aggx = aggx / cfg.normalization_factor
+            agg = agg / cfg.normalization_factor
         else:
-            aggx = aggx / n
-        x = (x + aggx) * node_mask
+            agg = agg / n
+        node_in = jnp.concatenate([h, agg], axis=-1).reshape(g_ * n, 2 * hidden)
+        upd = _matmul(
+            _silu(_matmul(node_in, g["wn1"], compute_dtype) + g["bn1"]),
+            g["wn2"], compute_dtype,
+        ) + g["bn2"]
+        h = (h + upd.reshape(g_, n, hidden)) * node_mask
 
-        h_out_ref[:] = h * node_mask
-        x_out_ref[:] = x
+    # Equivariant coordinate update.
+    pre = edge_pre(h, cw["w1"], cw["b1"])
+    mm = _matmul(_silu(pre), cw["w2"], compute_dtype, edge_dtype)
+    mid = _silu(mm + cast_b(cw["b2"], mm))
+    s = _matmul(mid, cw["w3"], compute_dtype).astype(jnp.float32)  # [G*N*N, 1]
+    if cfg.tanh:
+        s = jnp.tanh(s) * cfg.coords_range_layer
+    trans = coord_diff * s.reshape(g_, n, n, 1) * edge_mask
+    aggx = jnp.sum(trans, axis=2)
+    if cfg.aggregation_method == "sum":
+        aggx = aggx / cfg.normalization_factor
+    else:
+        aggx = aggx / n
+    x = (x + aggx) * node_mask
+
+    return h * node_mask, x
+
+
+def _n_weights(cfg: EGNNConfig) -> int:
+    return cfg.inv_sublayers * (10 if cfg.attention else 8) + 5
+
+
+def _make_kernel(cfg: EGNNConfig, n: int, compute_dtype, group: int):
+    """Forward kernel closure for a given (static) config and node count.
+
+    ``group`` molecules are processed per grid step: node matmuls become
+    [G*N, H] and edge matmuls [G*N*N, H] contractions, amortizing grid-step
+    overhead and filling the MXU."""
+    nw = _n_weights(cfg)
+
+    def kernel(*refs):
+        # Layout: [h, x, x0, node_mask] + flat weights, then [h_out, x_out].
+        h_ref, x_ref, x0_ref, mask_ref = refs[:4]
+        ws = [r[:] for r in refs[4 : 4 + nw]]
+        h_out_ref, x_out_ref = refs[4 + nw :]
+        h_out, x_out = _block_math(
+            cfg, n, group, compute_dtype, ws,
+            h_ref[:], x_ref[:], x0_ref[:], mask_ref[:],
+        )
+        h_out_ref[:] = h_out
+        x_out_ref[:] = x_out
 
     return kernel
+
+
+def _make_bwd_kernel(cfg: EGNNConfig, n: int, compute_dtype, group: int):
+    """Fused backward kernel: recompute the block forward in VMEM and
+    differentiate it with an in-kernel ``jax.vjp`` — the [G*N*N, H] residuals
+    never touch HBM (the XLA-remat backward writes several of them per
+    block). Weight grads accumulate across grid steps in a VMEM-resident
+    output block (constant index_map)."""
+    nw = _n_weights(cfg)
+
+    def kernel(*refs):
+        # Inputs: [h, x, x0, node_mask, dh_out, dx_out] + flat weights.
+        # Outputs: [dh, dx, dx0] + flat weight grads (accumulated).
+        h_ref, x_ref, x0_ref, mask_ref, g_h_ref, g_x_ref = refs[:6]
+        ws = [r[:] for r in refs[6 : 6 + nw]]
+        out_refs = refs[6 + nw :]
+        dh_ref, dx_ref, dx0_ref = out_refs[:3]
+        dw_refs = out_refs[3:]
+
+        node_mask = mask_ref[:]
+
+        def f(ws_, h_, x_, x0_):
+            return _block_math(cfg, n, group, compute_dtype, list(ws_),
+                               h_, x_, x0_, node_mask)
+
+        _, vjp_fn = jax.vjp(f, tuple(ws), h_ref[:], x_ref[:], x0_ref[:])
+        dws, dh, dx, dx0 = vjp_fn((g_h_ref[:], g_x_ref[:]))
+        dh_ref[:] = dh
+        dx_ref[:] = dx
+        dx0_ref[:] = dx0
+
+        i = pl.program_id(0)
+        for dw_ref, dw in zip(dw_refs, dws):
+            _accumulate(dw_ref, dw.astype(dw_ref.dtype), i)
+
+    return kernel
+
+
+def _accumulate(ref, val, i):
+    @pl.when(i == 0)
+    def _():
+        ref[:] = val
+
+    @pl.when(i > 0)
+    def _():
+        ref[:] = ref[:] + val
 
 
 def _block_weight_list(block_params: dict, attention: bool):
@@ -213,6 +274,25 @@ def _block_weight_list(block_params: dict, attention: bool):
            block_params["coord_mlp"][1]["w"], block_params["coord_mlp"][1]["b"],
            block_params["coord_mlp"][2]["w"]]
     return ws
+
+
+def _unflatten_block_grads(dws, n_gcl: int, attention: bool) -> dict:
+    """Inverse of _block_weight_list: flat grads -> block_params pytree."""
+    it = iter(dws)
+    gcls = []
+    for _ in range(n_gcl):
+        g = {
+            "edge_mlp": ({"w": next(it), "b": next(it)},
+                         {"w": next(it), "b": next(it)}),
+        }
+        if attention:
+            g["att_mlp"] = {"w": next(it), "b": next(it)}
+        g["node_mlp"] = ({"w": next(it), "b": next(it)},
+                         {"w": next(it), "b": next(it)})
+        gcls.append(g)
+    coord = ({"w": next(it), "b": next(it)}, {"w": next(it), "b": next(it)},
+             {"w": next(it)})
+    return {"gcls": tuple(gcls), "coord_mlp": coord}
 
 
 def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
@@ -237,7 +317,24 @@ def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8))
+def _auto_group_bwd(b: int, n: int, hidden: int) -> int:
+    """Group size for the fused backward kernel. The in-kernel vjp keeps
+    forward residuals AND edge-sized cotangents live in VMEM (~4x the
+    forward's live set), so the pair-row budget is a quarter of the
+    forward's."""
+    padded_n = -(-n // 8) * 8
+    max_rows = 1024
+    if hidden > 256:
+        max_rows = max_rows * 256 // hidden
+    if n % 8 != 0:
+        max_rows //= 2
+    for g in (8, 4, 2, 1):
+        if b % g == 0 and g * padded_n * padded_n <= max_rows:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8, 9))
 def fused_block_apply(
     cfg: EGNNConfig,
     block_params: dict,
@@ -248,11 +345,18 @@ def fused_block_apply(
     compute_dtype=None,
     interpret: bool = False,
     group: Optional[int] = None,
+    bwd_mode: str = "pallas",
 ):
     """One EquivariantBlock, fused. h [B,N,H], x/x0 [B,N,3], node_mask [B,N,1].
 
     Equivalent to nn.egnn.block_apply with edge_attr0 = distance features of
-    x0 and edge_mask = outer(node_mask) minus diagonal."""
+    x0 and edge_mask = outer(node_mask) minus diagonal.
+
+    ``bwd_mode``: 'pallas' (fused backward kernel — residuals stay in VMEM)
+    or 'xla' (rematerialize + differentiate the XLA block). The XLA mode
+    drops the gradient w.r.t. x0 (zero) — harmless for the GeoLDM models,
+    whose EGNN inputs never carry gradients upstream, but the pallas mode
+    computes it exactly."""
     return _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
                                  compute_dtype, interpret, group)
 
@@ -321,16 +425,76 @@ def _reference_block(cfg, block_params, h, x, x0, node_mask):
     return block_apply(block_params, cfg, h, x, e0, node_mask, edge_mask)
 
 
-def _fwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret, group):
+def _fused_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
+                          compute_dtype, interpret, group=None):
+    """Invoke the fused backward kernel; returns (d_block_params, dh, dx, dx0)."""
+    b, n, hidden = h.shape
+    weights = _block_weight_list(block_params, cfg.attention)
+    g = group or _auto_group_bwd(b, n, hidden)
+    assert b % g == 0, f"batch {b} not divisible by bwd group {g}"
+
+    def batch_spec(shape):
+        return pl.BlockSpec(
+            (g,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def weight_spec(w):
+        # Constant index_map: the block stays VMEM-resident across the
+        # (sequential) grid steps — weight grads accumulate into it.
+        return pl.BlockSpec(
+            w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
+        )
+
+    kernel = _make_bwd_kernel(cfg, n, compute_dtype, g)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[
+            batch_spec((n, hidden)),
+            batch_spec((n, 3)),
+            batch_spec((n, 3)),
+            batch_spec((n, 1)),
+            batch_spec((n, hidden)),
+            batch_spec((n, 3)),
+            *[weight_spec(w) for w in weights],
+        ],
+        out_specs=[
+            batch_spec((n, hidden)),
+            batch_spec((n, 3)),
+            batch_spec((n, 3)),
+            *[weight_spec(w) for w in weights],
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hidden), h.dtype),
+            jax.ShapeDtypeStruct((b, n, 3), x.dtype),
+            jax.ShapeDtypeStruct((b, n, 3), x0.dtype),
+            *[jax.ShapeDtypeStruct(w.shape, w.dtype) for w in weights],
+        ],
+        interpret=interpret,
+    )(h, x, x0, node_mask, g_h, g_x, *weights)
+    dh, dx, dx0 = outs[:3]
+    d_params = _unflatten_block_grads(outs[3:], cfg.inv_sublayers, cfg.attention)
+    return d_params, dh, dx, dx0
+
+
+def _fwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret,
+         group, bwd_mode):
     out = _fused_block_fwd_impl(
         cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret, group
     )
     return out, (block_params, h, x, x0, node_mask)
 
 
-def _bwd(cfg, compute_dtype, interpret, group, residuals, cotangents):
-    """Backward = differentiate the XLA reference block (rematerialized)."""
+def _bwd(cfg, compute_dtype, interpret, group, bwd_mode, residuals, cotangents):
     block_params, h, x, x0, node_mask = residuals
+    if bwd_mode == "pallas":
+        d_params, dh, dx, dx0 = _fused_block_bwd_impl(
+            cfg, block_params, h, x, x0, node_mask,
+            cotangents[0], cotangents[1], compute_dtype, interpret,
+        )
+        return (d_params, dh, dx, dx0, jnp.zeros_like(node_mask))
+    # 'xla': differentiate the XLA reference block (rematerialized in HBM).
     _, vjp_fn = jax.vjp(
         lambda p, h_, x_: _reference_block(cfg, p, h_, x_, x0, node_mask),
         block_params, h, x,
@@ -351,11 +515,19 @@ def egnn_apply_pallas(
     compute_dtype=None,
     interpret: bool = False,
     group: Optional[int] = None,
+    bwd_mode: Optional[str] = None,
 ):
     """Full EGNN forward with the fused Pallas block.
 
-    Same contract as nn.egnn.egnn_apply (edge_mask is derived in-kernel)."""
+    Same contract as nn.egnn.egnn_apply (edge_mask is derived in-kernel).
+    ``bwd_mode`` 'pallas'|'xla' selects the gradient path (default 'pallas',
+    overridable with GEOLDM_PALLAS_BWD)."""
+    import os
+
     from geoldm_tpu.nn.core import linear
+
+    if bwd_mode is None:
+        bwd_mode = os.environ.get("GEOLDM_PALLAS_BWD", "pallas")
 
     x0 = x
     h = linear(params["embedding"], h, compute_dtype)
@@ -364,7 +536,8 @@ def egnn_apply_pallas(
         def body(carry, block_p):
             h, x = carry
             h, x = fused_block_apply(
-                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret, group
+                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret,
+                group, bwd_mode,
             )
             return (h, x), None
 

@@ -126,19 +126,119 @@ def evaluate_nll(
     """Mean NLL over a split (t0_always estimator). reference:
     train_test.py:103-149 — note the reference applies augment_noise during
     evaluation as well (train_test.py:119-124), matched here."""
-    total, count = 0.0, 0
+    # Accumulate the weighted sum ON DEVICE and fetch once: a float() per
+    # batch forces a host sync (tunnel RTT ~100ms/batch); lazy accumulation
+    # overlaps device compute with the next batch's host-side prep.
+    total, count = jnp.zeros((), jnp.float32), 0
     rng = rng or np.random.default_rng(0)
     for raw in loader:
         batch = prepare_batch(raw, nodes_dist, conditioning, property_norms,
                               augment_noise=augment_noise, rng=rng)
         key, sub = jax.random.split(key)
-        nll = float(eval_nll_fn(params, batch, sub))
         b = batch["x"].shape[0]
-        total += nll * b
+        total = total + eval_nll_fn(params, batch, sub) * b
         count += b
-    mean = total / max(count, 1)
+    mean = float(total) / max(count, 1)
     print(f"{partition} NLL: {mean:.4f}")
     return mean
+
+
+def evaluate_nll_packed(
+    params,
+    model_cfg: ModelConfig,
+    split: Dict[str, np.ndarray],
+    nodes_dist: DistributionNodes,
+    key,
+    *,
+    batch_size: int = 64,
+    pad_nodes: int = 0,
+    n_passes: int = 1,
+    partition: str = "test",
+    compute_dtype=None,
+):
+    """Device-resident NLL evaluation: stage the WHOLE split on device once
+    and run each pass as a single ``lax.scan`` over batches.
+
+    The loader-per-batch path (evaluate_nll) pays a host->device transfer
+    plus dispatch per batch — ~0.4s/batch through the axon tunnel, which
+    made the reference protocol's 5 test passes (eval_analyze.py:172-188)
+    the wall-clock bottleneck. Here the split is packed [M, N, ...] host-side
+    (vectorized), transferred once, edge masks are rebuilt ON DEVICE from the
+    node mask, and each pass is one dispatch. Returns a list of per-pass
+    mean NLLs.
+    """
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.ops.distance import build_edge_mask
+
+    d = split
+    m = len(d["num_atoms"])
+    stored_n = d["positions"].shape[1]
+    n = pad_nodes or stored_n
+    assert stored_n <= n
+    pad_extra = n - stored_n
+
+    n_atoms = np.asarray(d["num_atoms"])
+    node_mask = (
+        np.arange(n)[None, :] < n_atoms[:, None]
+    ).astype(np.float32)[..., None]
+    pos = d["positions"].astype(np.float32)
+    oh = d["one_hot"].astype(np.float32)
+    ch = d["charges"].astype(np.float32)
+    if pad_extra:
+        pos = np.pad(pos, ((0, 0), (0, pad_extra), (0, 0)))
+        oh = np.pad(oh, ((0, 0), (0, pad_extra), (0, 0)))
+        ch = np.pad(ch, ((0, 0), (0, pad_extra)))
+    mean_pos = pos.sum(axis=1, keepdims=True) / np.maximum(n_atoms[:, None, None], 1)
+    pos = (pos - mean_pos) * node_mask
+    include_charges = (
+        model_cfg.vae.include_charges if model_cfg.vae
+        else model_cfg.diffusion.include_charges
+    )
+    h_int = (
+        (ch[..., None] * node_mask).astype(np.float32)
+        if include_charges else np.zeros((m, n, 0), dtype=np.float32)
+    )
+    log_pN = nodes_dist.log_prob(n_atoms).astype(np.float32)
+
+    # Pad the molecule count to a batch multiple; padded rows get weight 0
+    # (pack() zero-fills the tail).
+    steps = -(-m // batch_size)
+    mp = steps * batch_size
+    weight = np.ones(m, dtype=np.float32)
+
+    def pack(a):
+        if mp > m:
+            a = np.pad(a, ((0, mp - m),) + ((0, 0),) * (a.ndim - 1))
+        return jnp.asarray(a.reshape((steps, batch_size) + a.shape[1:]))
+
+    data = tuple(
+        pack(a)
+        for a in (pos, oh * node_mask, h_int, node_mask, log_pN, weight)
+    )
+
+    nll_fn = factory.model_nll_fn(model_cfg, training=False,
+                                  compute_dtype=compute_dtype)
+
+    @jax.jit
+    def run_pass(params, data, key):
+        def body(acc, chunk):
+            x_, hc_, hi_, nm_, lpn_, w_ = chunk
+            em_ = build_edge_mask(nm_)
+            k = jax.random.fold_in(key, acc[1])
+            nll = nll_fn(params, k, x_, hc_, hi_, nm_, em_, None) - lpn_
+            return (acc[0] + jnp.sum(nll * w_), acc[1] + 1), None
+
+        init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+        (total, _), _ = jax.lax.scan(body, init, data)
+        return total / m
+
+    means = []
+    for i in range(n_passes):
+        key, sub = jax.random.split(key)
+        val = float(run_pass(params, data, sub))
+        print(f"{partition}[{i}] NLL: {val:.4f}")
+        means.append(val)
+    return means
 
 
 def analyze_and_save(

@@ -66,7 +66,8 @@ def test_pallas_no_attention_mean_agg():
     np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref), atol=2e-5)
 
 
-def test_pallas_custom_vjp_matches_xla_grad():
+@pytest.mark.parametrize("bwd_mode", ["xla", "pallas"])
+def test_pallas_custom_vjp_matches_xla_grad(bwd_mode):
     cfg = cfg_of(n_layers=1)
     params = egnn_init(jax.random.key(0), cfg)
     h, x, node_mask = make_inputs(jax.random.key(1))
@@ -77,10 +78,44 @@ def test_pallas_custom_vjp_matches_xla_grad():
         return jnp.sum(h1**2) + jnp.sum(x1**2)
 
     def loss_pal(p):
-        h1, x1 = egnn_apply_pallas(p, cfg, h, x, node_mask, interpret=True)
+        h1, x1 = egnn_apply_pallas(
+            p, cfg, h, x, node_mask, interpret=True, bwd_mode=bwd_mode
+        )
         return jnp.sum(h1**2) + jnp.sum(x1**2)
 
     g_xla = jax.grad(loss_xla)(params)
     g_pal = jax.grad(loss_pal)(params)
     for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "sin_emb,inv_sublayers",
+    [(False, 1), pytest.param(True, 2, marks=pytest.mark.slow)],
+)
+def test_pallas_fused_bwd_input_grads(sin_emb, inv_sublayers):
+    """The fused Pallas backward computes grads w.r.t. the EGNN INPUTS
+    (h and x) exactly — including the x0 -> initial-distance-features path
+    that the 'xla' remat mode drops (zero). Compare against full XLA
+    autodiff through egnn_apply."""
+    cfg = cfg_of(n_layers=2, sin_embedding=sin_emb, inv_sublayers=inv_sublayers)
+    params = egnn_init(jax.random.key(0), cfg)
+    h, x, node_mask = make_inputs(jax.random.key(1))
+    edge_mask = build_edge_mask(node_mask)
+
+    def loss_xla(h_, x_):
+        h1, x1 = egnn_apply(params, cfg, h_, x_, node_mask, edge_mask)
+        return jnp.sum(h1**2) + 0.5 * jnp.sum(x1**2)
+
+    def loss_pal(h_, x_):
+        h1, x1 = egnn_apply_pallas(
+            params, cfg, h_, x_, node_mask, interpret=True, bwd_mode="pallas"
+        )
+        return jnp.sum(h1**2) + 0.5 * jnp.sum(x1**2)
+
+    gh_xla, gx_xla = jax.grad(loss_xla, argnums=(0, 1))(h, x)
+    gh_pal, gx_pal = jax.grad(loss_pal, argnums=(0, 1))(h, x)
+    np.testing.assert_allclose(np.asarray(gh_pal), np.asarray(gh_xla),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gx_pal), np.asarray(gx_xla),
+                               atol=5e-4, rtol=1e-3)

@@ -167,3 +167,69 @@ def test_nodes_dist_log_prob_unseen_size_readable_error():
     )
     with pytest.raises(ValueError, match="not in the dataset's n_nodes"):
         nodes_dist.log_prob([5, 6])
+
+
+def test_evaluate_nll_packed_matches_manual():
+    """evaluate_nll_packed == manually running the nll_fn over the same
+    chunks with the same fold_in keys (incl. a weighted padded tail)."""
+    from geoldm_tpu.data.datasets_config import get_dataset_info
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.ops.distance import build_edge_mask
+    from geoldm_tpu.train import trainer as trainer_mod
+
+    info = get_dataset_info("qm9")
+    cfg = factory.make_diffusion_model_config(
+        info, nf=16, n_layers=1, diffusion_steps=8
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    nodes_dist = DistributionNodes(info.n_nodes)
+
+    m, stored_n = 11, 9  # deliberately not a batch multiple
+    rng = np.random.default_rng(0)
+    num_atoms = rng.choice(list(info.n_nodes.keys())[:4], size=m)
+    num_atoms = np.minimum(num_atoms, stored_n)
+    split = {
+        "num_atoms": num_atoms,
+        "positions": rng.standard_normal((m, stored_n, 3)).astype(np.float32)
+        * (np.arange(stored_n)[None] < num_atoms[:, None])[..., None],
+        "one_hot": np.eye(5, dtype=np.float32)[
+            rng.integers(0, 5, (m, stored_n))
+        ],
+        "charges": rng.integers(1, 9, (m, stored_n)).astype(np.float32),
+    }
+
+    key = jax.random.key(7)
+    key2, sub = jax.random.split(key)
+    got = trainer_mod.evaluate_nll_packed(
+        params, cfg, split, nodes_dist, key, batch_size=4, pad_nodes=12,
+        n_passes=1, partition="t",
+    )[0]
+
+    # Manual expected value with identical packing + keys.
+    n, bs = 12, 4
+    n_at = split["num_atoms"]
+    node_mask = (np.arange(n)[None] < n_at[:, None]).astype(np.float32)[..., None]
+    pos = np.pad(split["positions"], ((0, 0), (0, 3), (0, 0)))
+    mean = pos.sum(1, keepdims=True) / n_at[:, None, None]
+    pos = (pos - mean) * node_mask
+    oh = np.pad(split["one_hot"], ((0, 0), (0, 3), (0, 0))) * node_mask
+    ch = np.pad(split["charges"], ((0, 0), (0, 3)))[..., None] * node_mask
+    log_pN = nodes_dist.log_prob(n_at)
+    nll_fn = factory.model_nll_fn(cfg, training=False)
+    total = 0.0
+    for i in range(3):  # ceil(11/4) steps
+        sl = slice(i * bs, (i + 1) * bs)
+        w = np.zeros(bs); w[: max(0, min(m - i * bs, bs))] = 1.0
+        pad_rows = bs - (sl.stop - sl.start) if sl.stop > m else 0
+        def take(a):
+            out = a[sl]
+            if len(out) < bs:
+                out = np.pad(out, ((0, bs - len(out)),) + ((0, 0),) * (a.ndim - 1))
+            return jnp.asarray(out.astype(np.float32))
+        nm = take(node_mask)
+        k = jax.random.fold_in(sub, i)
+        nll = nll_fn(params, k, take(pos), take(oh), take(ch), nm,
+                     build_edge_mask(nm), None)
+        lpn = take(log_pN[..., None])[..., 0]
+        total += float(jnp.sum((nll - lpn) * jnp.asarray(w)))
+    np.testing.assert_allclose(got, total / m, rtol=2e-5)
