@@ -200,15 +200,20 @@ def evaluate_nll_packed(
     )
     log_pN = nodes_dist.log_prob(n_atoms).astype(np.float32)
 
-    # Pad the molecule count to a batch multiple; padded rows get weight 0
-    # (pack() zero-fills the tail).
+    # Pad the molecule count to a batch multiple by REPEATING the leading
+    # molecules with weight 0 — an all-zero-mask molecule would send NaN
+    # through the latent model's per-graph reductions, and NaN * 0 = NaN.
     steps = -(-m // batch_size)
     mp = steps * batch_size
-    weight = np.ones(m, dtype=np.float32)
+    weight = np.concatenate(
+        [np.ones(m, dtype=np.float32), np.zeros(mp - m, dtype=np.float32)]
+    )
 
     def pack(a):
-        if mp > m:
-            a = np.pad(a, ((0, mp - m),) + ((0, 0),) * (a.ndim - 1))
+        if len(a) < mp:
+            # np.resize cycles whole rows, so this works even when the
+            # padding exceeds the split size (m < batch_size).
+            a = np.resize(a, (mp,) + a.shape[1:])
         return jnp.asarray(a.reshape((steps, batch_size) + a.shape[1:]))
 
     data = tuple(

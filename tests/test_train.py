@@ -220,11 +220,9 @@ def test_evaluate_nll_packed_matches_manual():
     for i in range(3):  # ceil(11/4) steps
         sl = slice(i * bs, (i + 1) * bs)
         w = np.zeros(bs); w[: max(0, min(m - i * bs, bs))] = 1.0
-        pad_rows = bs - (sl.stop - sl.start) if sl.stop > m else 0
         def take(a):
-            out = a[sl]
-            if len(out) < bs:
-                out = np.pad(out, ((0, bs - len(out)),) + ((0, 0),) * (a.ndim - 1))
+            # The packed path pads the tail by cycling rows (np.resize).
+            out = np.resize(a, (3 * bs,) + a.shape[1:])[sl]
             return jnp.asarray(out.astype(np.float32))
         nm = take(node_mask)
         k = jax.random.fold_in(sub, i)
@@ -233,3 +231,35 @@ def test_evaluate_nll_packed_matches_manual():
         lpn = take(log_pN[..., None])[..., 0]
         total += float(jnp.sum((nll - lpn) * jnp.asarray(w)))
     np.testing.assert_allclose(got, total / m, rtol=2e-5)
+
+
+def test_evaluate_nll_packed_finite_for_ldm_with_padded_tail():
+    """Regression: the padded tail must repeat real molecules — an all-zero
+    node_mask row makes the LATENT model's per-graph reductions NaN, and
+    NaN * weight(0) poisoned the whole scan (seen on the 10k TPU run)."""
+    from geoldm_tpu.data.datasets_config import get_dataset_info
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.train import trainer as trainer_mod
+
+    info = get_dataset_info("qm9")
+    cfg = factory.make_latent_diffusion_config(
+        info, nf=16, n_layers=1, latent_nf=1, diffusion_steps=8
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    nodes_dist = DistributionNodes(info.n_nodes)
+    m, stored_n = 5, 9
+    rng = np.random.default_rng(1)
+    num_atoms = np.minimum(nodes_dist.sample(m, rng), stored_n)
+    mask = (np.arange(stored_n)[None] < num_atoms[:, None]).astype(np.float32)
+    split = {
+        "num_atoms": num_atoms,
+        "positions": (rng.standard_normal((m, stored_n, 3)) * mask[..., None]
+                      ).astype(np.float32),
+        "one_hot": np.eye(5, dtype=np.float32)[rng.integers(0, 5, (m, stored_n))],
+        "charges": rng.integers(1, 9, (m, stored_n)).astype(np.float32),
+    }
+    vals = trainer_mod.evaluate_nll_packed(
+        params, cfg, split, nodes_dist, jax.random.key(3),
+        batch_size=4, pad_nodes=12, n_passes=2, partition="t",
+    )
+    assert np.isfinite(vals).all()
