@@ -26,6 +26,10 @@ Env knobs:
                       decode; schedule/CoM algebra always f32)
   GEOLDM_BENCH_FLAT   set to 1 to disable bucketing (pad everything to 32)
   GEOLDM_BENCH_TRAIN  set to 0 to skip the training-step timing
+  GEOLDM_BENCH_TRAIN_DTYPE  compute mode for the train-step timing
+                      (default pallas: fused fwd+bwd kernel, no remat —
+                      1.4x the XLA grad path on v5e; "float32" benches the
+                      XLA path with remat)
   GEOLDM_BENCH_DATASET qm9 (default) | geom — geom benches the GEOM-Drugs
                       recipe (nf 256, 4 layers, latent_nf 2, pad 184,
                       remat on, bs 32) and renames the metric accordingly
@@ -52,18 +56,21 @@ def _bucket_pads(nodesxsample: np.ndarray, buckets) -> np.ndarray:
     return np.array(buckets)[np.searchsorted(buckets, nodesxsample)]
 
 
-def _bench_train(cfg, train_batch_size: int, pad: int, device_kind: str):
-    """Time the flagship jitted train step (bs x pad, trainable_ae, remat)."""
+def _bench_train(cfg, train_batch_size: int, pad: int, device_kind: str,
+                 compute_dtype: str = "float32"):
+    """Time the flagship jitted train step (bs x pad, trainable_ae)."""
     import jax
     import jax.numpy as jnp
 
     from geoldm_tpu.config import TrainConfig
+    from geoldm_tpu.nn.core import resolve_compute
     from geoldm_tpu.train import train_step as ts
     from geoldm_tpu.utils import flops as flops_mod
 
-    train_cfg = TrainConfig(compute_dtype="float32")
+    train_cfg = TrainConfig(compute_dtype=compute_dtype)
+    spec = resolve_compute(None if compute_dtype == "float32" else compute_dtype)
     state, tx = ts.create_train_state(jax.random.key(0), cfg, train_cfg)
-    step_fn = jax.jit(ts.make_train_step(cfg, train_cfg, tx))
+    step_fn = jax.jit(ts.make_train_step(cfg, train_cfg, tx, spec))
 
     b, n = train_batch_size, pad
     rng = np.random.default_rng(0)
@@ -107,7 +114,7 @@ def _bench_train(cfg, train_batch_size: int, pad: int, device_kind: str):
     print(f"# train host-loop: {host_ms:.1f} ms/step (incl. dispatch)", file=sys.stderr)
 
     # Device time: K steps scanned inside ONE jitted program — no dispatch.
-    raw_step = ts.make_train_step(cfg, train_cfg, tx)
+    raw_step = ts.make_train_step(cfg, train_cfg, tx, spec)
 
     @jax.jit
     def multi_step(state, batch, key):
@@ -137,6 +144,12 @@ def _bench_train(cfg, train_batch_size: int, pad: int, device_kind: str):
 
 
 def main() -> None:
+    if "pallas" in os.environ.get("GEOLDM_BENCH_DTYPE", "") or "pallas" in os.environ.get(
+        "GEOLDM_BENCH_TRAIN_DTYPE", "pallas"
+    ):
+        from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
+
+        ensure_scoped_vmem_limit()
     import jax
 
     from geoldm_tpu.data.datasets_config import get_dataset_info
@@ -170,10 +183,17 @@ def main() -> None:
         buckets = (32,) if flat else (16, 24, 32)
         train_bs, train_pad = 64, 32
         metric = "qm9_sample_mol_per_sec"
-    # Training benches the flagship recipe: trainable decoder + remat (the
-    # backward at these shapes OOMs HBM without remat).
+    # Training benches the flagship recipe with the fused Pallas fwd+bwd
+    # kernel by default (1.4x the XLA grad path on v5e, and its backward
+    # never materializes edge tensors so remat is unnecessary). The XLA
+    # path needs remat: the f32 backward at these shapes OOMs 16GB HBM.
+    # GEOM's pad-184 molecules exceed the whole-molecule kernel's VMEM
+    # budget (184^2 pair rows) — its train bench stays on XLA+remat.
+    train_dtype = os.environ.get(
+        "GEOLDM_BENCH_TRAIN_DTYPE", "pallas" if dataset != "geom" else "float32"
+    )
     train_model_cfg = factory.make_latent_diffusion_config(
-        info, trainable_ae=True, remat=True, **model_kw
+        info, trainable_ae=True, remat="pallas" not in train_dtype, **model_kw
     )
 
     device_kind = jax.devices()[0].device_kind
@@ -228,12 +248,13 @@ def main() -> None:
     }
     if bench_train:
         steps_per_sec, ms_per_step, train_mfu = _bench_train(
-            train_model_cfg, train_bs, train_pad, device_kind
+            train_model_cfg, train_bs, train_pad, device_kind, train_dtype
         )
         result.update(
             train_steps_per_sec=round(steps_per_sec, 2),
             device_ms_per_step=round(ms_per_step, 2),
             train_mfu=None if train_mfu is None else round(train_mfu, 4),
+            train_dtype=train_dtype,
         )
     print(json.dumps(result))
 

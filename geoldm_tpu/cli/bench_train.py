@@ -28,6 +28,10 @@ def main(argv=None) -> None:
     p.add_argument("--remat", type=eval, default=False)
     args = p.parse_args(argv)
 
+    if "pallas" in args.compute_dtype:
+        from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
+
+        ensure_scoped_vmem_limit()
     import jax
     import jax.numpy as jnp
     import numpy as np

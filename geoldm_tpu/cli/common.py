@@ -79,7 +79,7 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--normalization_factor", type=float, default=d["normalization_factor"])
     p.add_argument("--aggregation_method", type=str, default="sum")
     p.add_argument("--compute_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "pallas", "bfloat16_pallas"])
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("--data_augmentation", type=eval, default=False)
@@ -133,8 +133,13 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
 
     ``loaders`` overrides the default QM9Loader construction (the GEOM entry
     point passes size-bucketed GeomLoaders and splits=None)."""
+    if "pallas" in args.compute_dtype:
+        # The fused backward kernel needs more than the default 16MB scoped
+        # VMEM at flagship shapes; must happen before the backend initializes.
+        from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
+
+        ensure_scoped_vmem_limit()
     import jax
-    import jax.numpy as jnp
 
     from geoldm_tpu.utils.jaxcache import setup_compilation_cache
 
@@ -177,7 +182,10 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
         dp=args.dp,
         tp=args.tp,
     )
-    compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+    # Passed as the resolve_compute string: selects operand dtype AND the
+    # XLA-vs-fused-Pallas backend ("pallas" was previously dropped here,
+    # silently training on the XLA path).
+    compute_dtype = None if args.compute_dtype == "float32" else args.compute_dtype
 
     pad_nodes = dataset_info.max_n_nodes
     if loaders is None:

@@ -15,9 +15,14 @@ input coordinates x0 (instead of streaming a [B, N, N, E] tensor).
 Matmuls hit the MXU as [N*N, H] x [H, H] contractions with float32
 accumulation; an optional bfloat16 compute mode casts matmul operands only.
 
-The public entry point ``fused_block_apply`` has a custom VJP whose backward
-pass re-runs the reference XLA block (rematerialization) and differentiates
-it — so the kernel is safe under ``jax.grad`` while the forward stays fused.
+The public entry point ``fused_block_apply`` has a custom VJP with two
+backward modes (``bwd_mode``): 'pallas' (default) runs a fused backward
+kernel that recomputes the forward's edge pipeline in VMEM and produces
+input + weight gradients without ever materializing edge-sized tensors in
+HBM (1.26x faster value+grad than the XLA path on v5e at flagship shapes);
+'xla' rematerializes + differentiates the reference XLA block. The fused
+backward's VMEM live set exceeds libtpu's default 16MB scoped allocation at
+N=32/H=256 — training entry points raise it via utils.tpuflags.
 
 Semantics match geoldm_tpu.nn.egnn.block_apply exactly (which itself is
 forward-parity-tested against the reference egnn/egnn_new.py:108-147).
@@ -35,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from geoldm_tpu.config import EGNNConfig
 from geoldm_tpu.ops.distance import _FREQUENCIES
+from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
 
 Array = jax.Array
 
@@ -305,6 +311,10 @@ def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
     # Calibrated on v5e at hidden=256: g*N^2 = 4096 pair rows fit the 16MB
     # scoped VMEM (g=4, N=32 compiles; g=8, N=24 -> 4608 rows OOMs at
     # 17.75M). Unaligned N additionally forces relayout copies — halve.
+    # NOT scaled with a raised scoped-VMEM limit: larger forward groups
+    # measured slower (g=8 at N=32: 2.30 ms/iter vs 1.96 at g=2 under a
+    # 64MB limit) — the 4096-row budget is the performance optimum, not
+    # just the fit boundary.
     padded_n = -(-n // 8) * 8
     max_rows = 4096 * 4 // itemsize
     if hidden > 256:
@@ -321,9 +331,10 @@ def _auto_group_bwd(b: int, n: int, hidden: int) -> int:
     """Group size for the fused backward kernel. The in-kernel vjp keeps
     forward residuals AND edge-sized cotangents live in VMEM (~4x the
     forward's live set), so the pair-row budget is a quarter of the
-    forward's."""
+    forward's. Measured on v5e: 1024 rows -> 17.26MB live (~17KB/row), so
+    the budget is limit/17KB with ~5% headroom."""
     padded_n = -(-n // 8) * 8
-    max_rows = 1024
+    max_rows = max(256, int(scoped_vmem_limit_kib() * 0.95) * 1024 // (17 * 1024))
     if hidden > 256:
         max_rows = max_rows * 256 // hidden
     if n % 8 != 0:

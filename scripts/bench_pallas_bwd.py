@@ -35,7 +35,16 @@ def main() -> None:
     p.add_argument("--fwd_only", action="store_true")
     p.add_argument("--interpret", action="store_true",
                    help="Pallas interpret mode (CPU smoke test)")
+    p.add_argument("--group", type=int, default=None,
+                   help="Force the kernel group size (fwd AND bwd)")
+    p.add_argument("--vmem_kib", type=int, default=None,
+                   help="Scoped-VMEM limit override (default: tpuflags default)")
     args = p.parse_args()
+
+    from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
+
+    if not args.interpret:
+        ensure_scoped_vmem_limit(*([args.vmem_kib] if args.vmem_kib else []))
 
     import jax
     import jax.numpy as jnp
@@ -73,11 +82,13 @@ def main() -> None:
         "xla": loss_of(lambda p: egnn_apply(p, cfg_remat, h, x, node_mask, edge_mask)),
         "pallas+xla_bwd": loss_of(
             lambda p: egnn_apply_pallas(p, cfg, h, x, node_mask,
-                                        interpret=args.interpret, bwd_mode="xla")
+                                        interpret=args.interpret, bwd_mode="xla",
+                                        group=args.group)
         ),
         "pallas": loss_of(
             lambda p: egnn_apply_pallas(p, cfg, h, x, node_mask,
-                                        interpret=args.interpret, bwd_mode="pallas")
+                                        interpret=args.interpret, bwd_mode="pallas",
+                                        group=args.group)
         ),
     }
 
