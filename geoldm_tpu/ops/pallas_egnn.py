@@ -31,6 +31,7 @@ forward-parity-tested against the reference egnn/egnn_new.py:108-147).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -43,6 +44,14 @@ from geoldm_tpu.ops.distance import _FREQUENCIES
 from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
 
 Array = jax.Array
+
+
+def _edge_lowp_enabled() -> bool:
+    """Run the edge-pipeline activation chain in the compute dtype (bf16).
+
+    Opt-in via GEOLDM_PALLAS_EDGE_LOWP=1 while under evaluation on this
+    toolchain; no effect when the compute dtype is None (f32)."""
+    return os.environ.get("GEOLDM_PALLAS_EDGE_LOWP", "0") == "1"
 
 
 def _silu(x):
@@ -131,12 +140,14 @@ def _block_math(cfg: EGNNConfig, n: int, group: int, compute_dtype,
     eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [G, N, N, E]
     eattr2 = eattr.reshape(g_ * n * n, e_feat)
 
-    # NOTE: running the edge pipeline in bf16 (halved VMEM + VPU work)
-    # currently trips Mosaic verification errors on bf16 broadcasts /
-    # matmul outputs in this toolchain, and measurements show the kernel
-    # is not MXU-bound, so bf16 here is limited to matmul operand
-    # casting (edge activations stay f32).
-    edge_dtype = None
+    # Edge pipeline activation dtype. The kernel is VPU-bound, not
+    # MXU-bound (STATUS findings): silu/sigmoid over [G*N*N, H] dominate,
+    # and bf16 activations process 2-per-lane. Direct bf16 broadcasts and
+    # bf16 matmul results trip Mosaic verification in this toolchain, so
+    # the bf16 mode keeps every matmul OUTPUT and the [h_i + h_j]
+    # broadcast-add in f32 and casts only the activation chain
+    # (silu -> matmul operand -> sigmoid gate) down to bf16.
+    edge_dtype = compute_dtype if _edge_lowp_enabled() else None
 
     def edge_pre(h_, w1, b1):
         """First edge-MLP layer without materializing [h_i, h_j] concat."""
@@ -144,14 +155,14 @@ def _block_math(cfg: EGNNConfig, n: int, group: int, compute_dtype,
         w_dst = w1[hidden : 2 * hidden]
         w_e = w1[2 * hidden :]
         h2 = h_.reshape(g_ * n, hidden)
-        src = _matmul(h2, w_src, compute_dtype, edge_dtype).reshape(g_, n, hidden)
-        dst = _matmul(h2, w_dst, compute_dtype, edge_dtype).reshape(g_, n, hidden)
-        pre = src[:, :, None, :] + dst[:, None, :, :]  # [G, N, N, H]
+        src = _matmul(h2, w_src, compute_dtype).reshape(g_, n, hidden)
+        dst = _matmul(h2, w_dst, compute_dtype).reshape(g_, n, hidden)
+        pre = src[:, :, None, :] + dst[:, None, :, :]  # [G, N, N, H] f32
         pre = pre.reshape(g_ * n * n, hidden) + _matmul(
-            eattr2, w_e, compute_dtype, edge_dtype
+            eattr2, w_e, compute_dtype
         )
-        b1_ = b1.astype(pre.dtype) if edge_dtype is not None else b1
-        return pre + b1_
+        pre = pre + b1
+        return pre.astype(edge_dtype) if edge_dtype is not None else pre
 
     def cast_b(b_, like):
         return b_.astype(like.dtype) if edge_dtype is not None else b_
