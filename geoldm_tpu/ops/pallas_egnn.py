@@ -54,8 +54,17 @@ def _edge_lowp_enabled() -> bool:
     return os.environ.get("GEOLDM_PALLAS_EDGE_LOWP", "0") == "1"
 
 
+def _sigmoid(x):
+    """Sigmoid with the transcendental in f32: Mosaic's verifier rejects
+    bf16-vector logistic ('vector.broadcast' element-type mismatch), and the
+    VPU transcendental unit is f32 anyway. Result returns to x's dtype."""
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.sigmoid(x.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jax.nn.sigmoid(x)
+
+
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    return x * _sigmoid(x)
 
 
 def _matmul(a, w, compute_dtype, out_dtype=None):
@@ -173,7 +182,7 @@ def _block_math(cfg: EGNNConfig, n: int, group: int, compute_dtype,
         m = _silu(mm + cast_b(g["b2"], mm))
         if attention:
             am = _matmul(m, g["wa"], compute_dtype, edge_dtype)
-            m = m * jax.nn.sigmoid(am + cast_b(g["ba"], am))
+            m = m * _sigmoid(am + cast_b(g["ba"], am))
         m = m.astype(jnp.float32).reshape(g_, n, n, hidden) * edge_mask
         agg = jnp.sum(m, axis=2)  # [G, N, H]
         if cfg.aggregation_method == "sum":
@@ -326,6 +335,8 @@ def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
     # measured slower (g=8 at N=32: 2.30 ms/iter vs 1.96 at g=2 under a
     # 64MB limit) — the 4096-row budget is the performance optimum, not
     # just the fit boundary.
+    if "GEOLDM_PALLAS_GROUP" in os.environ:
+        return int(os.environ["GEOLDM_PALLAS_GROUP"])
     padded_n = -(-n // 8) * 8
     max_rows = 4096 * 4 // itemsize
     if hidden > 256:
@@ -543,10 +554,20 @@ def egnn_apply_pallas(
 
     Same contract as nn.egnn.egnn_apply (edge_mask is derived in-kernel).
     ``bwd_mode`` 'pallas'|'xla' selects the gradient path (default 'pallas',
-    overridable with GEOLDM_PALLAS_BWD)."""
-    import os
-
+    overridable with GEOLDM_PALLAS_BWD). Molecules whose full N*N pair grid
+    exceeds the whole-molecule kernel's VMEM budget (GEOM-scale N) dispatch
+    to the row-tiled kernels (ops/pallas_egnn_tiled.py) automatically."""
     from geoldm_tpu.nn.core import linear
+
+    n = h.shape[1]
+    padded_n = -(-n // 8) * 8
+    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
+    if group is None and padded_n * padded_n > 4096 * 4 // itemsize:
+        from geoldm_tpu.ops.pallas_egnn_tiled import egnn_apply_pallas_tiled
+
+        return egnn_apply_pallas_tiled(
+            params, cfg, h, x, node_mask, compute_dtype, interpret
+        )
 
     if bwd_mode is None:
         bwd_mode = os.environ.get("GEOLDM_PALLAS_BWD", "pallas")

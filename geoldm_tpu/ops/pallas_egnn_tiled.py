@@ -1,0 +1,343 @@
+"""Row-tiled Pallas EGNN kernels for large molecules (GEOM-Drugs, N<=181).
+
+The whole-molecule kernel (ops/pallas_egnn.py) holds all G*N*N pair rows of
+an EquivariantBlock in VMEM — impossible at GEOM's pad-184 (184^2 = 33,856
+pair rows x H=256 x f32 = ~35MB per live buffer). This module tiles the
+*row* dimension instead, flash-attention-style: grid = (molecule, row-tile),
+and each grid step computes one [T, N] slab of the pair grid against the
+full column set, which stays VMEM-resident (constant index_map). The edge
+activations for a slab are [T*N, H] — a few MB — and never touch HBM.
+
+Because a GCL's node update only needs its own row's aggregation, one
+pallas_call per GCL suffices; the equivariant coordinate update needs the
+post-GCL h of *all* nodes, so it runs as a second tiled call. Per
+EquivariantBlock that is inv_sublayers + 1 tiny-launch kernels (GEOM: 2).
+
+The backward is the XLA block rematerialized (same 'xla' mode as the
+whole-molecule kernel): GEOM training keeps remat; the tiled kernels' win
+is the forward/sampling path, where XLA would stream [B, N, N, H] edge
+tensors through HBM.
+
+Semantics match nn.egnn.block_apply exactly (parity-tested against the
+reference egnn/egnn_new.py:108-147 via the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geoldm_tpu.config import EGNNConfig
+from geoldm_tpu.ops.pallas_egnn import (
+    _matmul,
+    _reference_block,
+    _sigmoid,
+    _silu,
+    _sin_features,
+)
+
+Array = jax.Array
+
+
+def _pair_features(cfg: EGNNConfig, xi, x, x0i, x0):
+    """Distance features + normalized differences for a [T, N] row slab."""
+    diff = xi[:, None, :] - x[None, :, :]  # [T, N, 3]
+    radial = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    norm = jnp.sqrt(radial + 1e-8)
+    coord_diff = diff / (norm + cfg.norm_constant)
+    dist_feat = _sin_features(radial) if cfg.sin_embedding else radial
+    diff0 = x0i[:, None, :] - x0[None, :, :]
+    radial0 = jnp.sum(diff0 * diff0, axis=-1, keepdims=True)
+    e0 = _sin_features(radial0) if cfg.sin_embedding else radial0
+    eattr = jnp.concatenate([dist_feat, e0], axis=-1)  # [T, N, E]
+    return eattr, coord_diff
+
+
+def _row_edge_mask(mask_i, mask, r0, tile, n):
+    """[T, N, 1] edge mask for rows r0..r0+T: outer minus the diagonal."""
+    pmask = mask_i * mask[:, 0][None, :]  # [T, N]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 0) + r0
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    off_diag = (row != col).astype(pmask.dtype)
+    return (pmask * off_diag)[..., None]
+
+
+def _edge_pre_rows(cfg, compute_dtype, hi, h, eattr2, w1, b1, tile, n):
+    """First edge-MLP layer on a row slab without materializing concat."""
+    hidden = cfg.hidden_nf
+    w_src = w1[:hidden]
+    w_dst = w1[hidden : 2 * hidden]
+    w_e = w1[2 * hidden :]
+    src = _matmul(hi, w_src, compute_dtype)  # [T, H]
+    dst = _matmul(h, w_dst, compute_dtype)  # [N, H]
+    pre = src[:, None, :] + dst[None, :, :]  # [T, N, H]
+    pre = pre.reshape(tile * n, hidden) + _matmul(eattr2, w_e, compute_dtype)
+    return pre + b1
+
+
+def _gcl_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
+                   gw: dict, h, x, x0, node_mask):
+    """One GCL for rows [r0, r0+tile) against all N columns.
+
+    h [N, H], x/x0 [N, 3], node_mask [N, 1]; returns the updated h rows
+    [T, H]."""
+    hidden = cfg.hidden_nf
+    hi = jax.lax.dynamic_slice_in_dim(h, r0, tile, 0)
+    xi = jax.lax.dynamic_slice_in_dim(x, r0, tile, 0)
+    x0i = jax.lax.dynamic_slice_in_dim(x0, r0, tile, 0)
+    mi = jax.lax.dynamic_slice_in_dim(node_mask, r0, tile, 0)  # [T, 1]
+
+    eattr, _ = _pair_features(cfg, xi, x, x0i, x0)
+    eattr2 = eattr.reshape(tile * n, -1)
+    emask = _row_edge_mask(mi, node_mask, r0, tile, n)
+
+    pre = _edge_pre_rows(cfg, compute_dtype, hi, h, eattr2, gw["w1"], gw["b1"],
+                         tile, n)
+    m = _silu(_matmul(_silu(pre), gw["w2"], compute_dtype) + gw["b2"])
+    if cfg.attention:
+        m = m * _sigmoid(_matmul(m, gw["wa"], compute_dtype) + gw["ba"])
+    m = m.reshape(tile, n, hidden) * emask
+    agg = jnp.sum(m, axis=1)  # [T, H]
+    if cfg.aggregation_method == "sum":
+        agg = agg / cfg.normalization_factor
+    else:
+        agg = agg / n
+    node_in = jnp.concatenate([hi, agg], axis=-1)
+    upd = _matmul(
+        _silu(_matmul(node_in, gw["wn1"], compute_dtype) + gw["bn1"]),
+        gw["wn2"], compute_dtype,
+    ) + gw["bn2"]
+    return (hi + upd) * mi
+
+
+def _coord_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
+                     cw: dict, h, x, x0, node_mask):
+    """Equivariant coordinate update for rows [r0, r0+tile): [T, 3]."""
+    hi = jax.lax.dynamic_slice_in_dim(h, r0, tile, 0)
+    xi = jax.lax.dynamic_slice_in_dim(x, r0, tile, 0)
+    x0i = jax.lax.dynamic_slice_in_dim(x0, r0, tile, 0)
+    mi = jax.lax.dynamic_slice_in_dim(node_mask, r0, tile, 0)
+
+    eattr, coord_diff = _pair_features(cfg, xi, x, x0i, x0)
+    eattr2 = eattr.reshape(tile * n, -1)
+    emask = _row_edge_mask(mi, node_mask, r0, tile, n)
+
+    pre = _edge_pre_rows(cfg, compute_dtype, hi, h, eattr2, cw["w1"], cw["b1"],
+                         tile, n)
+    mid = _silu(_matmul(_silu(pre), cw["w2"], compute_dtype) + cw["b2"])
+    s = _matmul(mid, cw["w3"], compute_dtype).astype(jnp.float32)  # [T*N, 1]
+    if cfg.tanh:
+        s = jnp.tanh(s) * cfg.coords_range_layer
+    trans = coord_diff * s.reshape(tile, n, 1) * emask
+    aggx = jnp.sum(trans, axis=1)
+    if cfg.aggregation_method == "sum":
+        aggx = aggx / cfg.normalization_factor
+    else:
+        aggx = aggx / n
+    return (xi + aggx) * mi
+
+
+_GCL_KEYS = ("w1", "b1", "w2", "b2", "wa", "ba", "wn1", "bn1", "wn2", "bn2")
+_COORD_KEYS = ("w1", "b1", "w2", "b2", "w3")
+
+
+def _make_gcl_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
+                          keys):
+    def kernel(*refs):
+        h_ref, x_ref, x0_ref, mask_ref = refs[:4]
+        ws = {k: r[:] for k, r in zip(keys, refs[4:-1])}
+        out_ref = refs[-1]
+        r0 = pl.program_id(1) * tile
+        out_ref[0] = _gcl_rows_math(
+            cfg, n, tile, r0, compute_dtype, ws,
+            h_ref[0], x_ref[0], x0_ref[0], mask_ref[0],
+        )
+
+    return kernel
+
+
+def _make_coord_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype):
+    def kernel(*refs):
+        h_ref, x_ref, x0_ref, mask_ref = refs[:4]
+        ws = {k: r[:] for k, r in zip(_COORD_KEYS, refs[4:-1])}
+        out_ref = refs[-1]
+        r0 = pl.program_id(1) * tile
+        out_ref[0] = _coord_rows_math(
+            cfg, n, tile, r0, compute_dtype, ws,
+            h_ref[0], x_ref[0], x0_ref[0], mask_ref[0],
+        )
+
+    return kernel
+
+
+def _auto_tile(n: int, hidden: int) -> int:
+    """Largest row tile whose [T*N, H] slabs fit the VMEM budget.
+
+    ~4 live f32 slab buffers; with the 64MB scoped limit the slab-row
+    budget is ~12k, with the default 16MB ~3k."""
+    from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
+
+    max_rows = scoped_vmem_limit_kib() * 1024 // (hidden * 4 * 4)
+    for t in (128, 64, 32, 16, 8):
+        if t * n <= max_rows:
+            return t
+    return 8
+
+
+def _call_rows(kernel, b: int, n: int, tile: int, out_feat: int,
+               out_dtype, interpret, args, weights):
+    """Shared pallas_call plumbing for the row-tiled kernels."""
+    def full_spec(shape):
+        return pl.BlockSpec((1,) + shape, lambda mb, it: (mb,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def weight_spec(w):
+        return pl.BlockSpec(w.shape, lambda mb, it: (0,) * w.ndim,
+                            memory_space=pltpu.VMEM)
+
+    h, x, x0, node_mask = args
+    hidden = h.shape[-1]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            full_spec((n, hidden)),
+            full_spec((n, 3)),
+            full_spec((n, 3)),
+            full_spec((n, 1)),
+            *[weight_spec(w) for w in weights],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, out_feat), lambda mb, it: (mb, it, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_feat), out_dtype),
+        interpret=interpret,
+    )(h, x, x0, node_mask, *weights)
+
+
+def _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
+                          compute_dtype, interpret, tile=None):
+    """One EquivariantBlock via row-tiled kernels (inv_sublayers + 1 calls)."""
+    b, n, hidden = h.shape
+    t = tile or _auto_tile(n, hidden)
+    t = min(t, n)
+    assert n % t == 0, f"padded N {n} not divisible by tile {t}"
+
+    for gcl in block_params["gcls"]:
+        gw = {
+            "w1": gcl["edge_mlp"][0]["w"], "b1": gcl["edge_mlp"][0]["b"],
+            "w2": gcl["edge_mlp"][1]["w"], "b2": gcl["edge_mlp"][1]["b"],
+            "wn1": gcl["node_mlp"][0]["w"], "bn1": gcl["node_mlp"][0]["b"],
+            "wn2": gcl["node_mlp"][1]["w"], "bn2": gcl["node_mlp"][1]["b"],
+        }
+        keys = list(_GCL_KEYS)
+        if cfg.attention:
+            gw["wa"] = gcl["att_mlp"]["w"]
+            gw["ba"] = gcl["att_mlp"]["b"]
+        else:
+            keys = [k for k in keys if k not in ("wa", "ba")]
+        weights = [gw[k] for k in keys]
+        kernel = _make_gcl_rows_kernel(cfg, n, t, compute_dtype, keys)
+        h = _call_rows(kernel, b, n, t, hidden, h.dtype,
+                       interpret, (h, x, x0, node_mask), weights)
+
+    cw = {
+        "w1": block_params["coord_mlp"][0]["w"],
+        "b1": block_params["coord_mlp"][0]["b"],
+        "w2": block_params["coord_mlp"][1]["w"],
+        "b2": block_params["coord_mlp"][1]["b"],
+        "w3": block_params["coord_mlp"][2]["w"],
+    }
+    weights = [cw[k] for k in _COORD_KEYS]
+    kernel = _make_coord_rows_kernel(cfg, n, t, compute_dtype)
+    x = _call_rows(kernel, b, n, t, 3, x.dtype,
+                   interpret, (h, x, x0, node_mask), weights)
+    return h, x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8))
+def tiled_block_apply(
+    cfg: EGNNConfig,
+    block_params: dict,
+    h: Array,
+    x: Array,
+    x0: Array,
+    node_mask: Array,
+    compute_dtype=None,
+    interpret: bool = False,
+    tile: Optional[int] = None,
+):
+    """One EquivariantBlock, row-tiled. Gradients rematerialize the XLA
+    block (the large-N training path keeps remat; see module docstring)."""
+    return _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
+                                 compute_dtype, interpret, tile)
+
+
+def _tfwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret,
+          tile):
+    out = _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
+                                compute_dtype, interpret, tile)
+    return out, (block_params, h, x, x0, node_mask)
+
+
+def _tbwd(cfg, compute_dtype, interpret, tile, residuals, cotangents):
+    block_params, h, x, x0, node_mask = residuals
+    _, vjp_fn = jax.vjp(
+        lambda p, h_, x_: _reference_block(cfg, p, h_, x_, x0, node_mask),
+        block_params, h, x,
+    )
+    d_params, dh, dx = vjp_fn(tuple(cotangents))
+    return (d_params, dh, dx, jnp.zeros_like(x0), jnp.zeros_like(node_mask))
+
+
+tiled_block_apply.defvjp(_tfwd, _tbwd)
+
+
+def egnn_apply_pallas_tiled(
+    params: dict,
+    cfg: EGNNConfig,
+    h: Array,
+    x: Array,
+    node_mask: Array,
+    compute_dtype=None,
+    interpret: bool = False,
+    tile: Optional[int] = None,
+):
+    """Full EGNN forward with row-tiled blocks (same contract as
+    nn.egnn.egnn_apply). Pads N up to a tile multiple internally."""
+    from geoldm_tpu.nn.core import linear
+
+    b, n, _ = h.shape
+    t = tile or _auto_tile(-(-n // 8) * 8, cfg.hidden_nf)
+    pad_n = -(-n // t) * t
+    pad = pad_n - n
+    x0 = x
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x0 = x
+        node_mask = jnp.pad(node_mask, ((0, 0), (0, pad), (0, 0)))
+
+    h = linear(params["embedding"], h, compute_dtype)
+    if cfg.n_layers > 0:
+
+        def body(carry, block_p):
+            h, x = carry
+            h, x = tiled_block_apply(
+                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret, t
+            )
+            return (h, x), None
+
+        (h, x), _ = jax.lax.scan(body, (h, x), params["blocks"])
+    h = linear(params["embedding_out"], h, compute_dtype)
+    h = h * node_mask
+    if pad:
+        h = h[:, :n]
+        x = x[:, :n]
+    return h, x

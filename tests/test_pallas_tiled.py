@@ -1,0 +1,93 @@
+"""Row-tiled Pallas EGNN (large-N path): exactness vs the XLA path in
+interpret mode, padding behavior, and gradient flow through the XLA-remat
+custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geoldm_tpu.config import EGNNConfig
+from geoldm_tpu.nn.egnn import egnn_apply, egnn_init
+from geoldm_tpu.ops.distance import build_edge_mask
+from geoldm_tpu.ops.pallas_egnn_tiled import egnn_apply_pallas_tiled
+
+
+def cfg_of(**kw):
+    base = dict(
+        in_node_nf=6, out_node_nf=6, hidden_nf=32, n_layers=2, inv_sublayers=1,
+        attention=True, tanh=True, coords_range=15.0, norm_constant=1.0,
+        sin_embedding=False, normalization_factor=100.0, aggregation_method="sum",
+    )
+    base.update(kw)
+    return EGNNConfig(**base)
+
+
+def make_inputs(key, b=2, n=16, in_nf=6, n_real=(11, 16)):
+    kh, kx = jax.random.split(key)
+    node_mask = np.zeros((b, n, 1), dtype=np.float32)
+    for i, k in enumerate(n_real):
+        node_mask[i, :k] = 1.0
+    node_mask = jnp.asarray(node_mask)
+    h = jax.random.normal(kh, (b, n, in_nf)) * node_mask
+    x = jax.random.normal(kx, (b, n, 3)) * node_mask
+    return h, x, node_mask
+
+
+@pytest.mark.parametrize("sin_emb,attention", [(False, True), (True, False)])
+def test_tiled_matches_xla(sin_emb, attention):
+    cfg = cfg_of(sin_embedding=sin_emb, attention=attention)
+    params = egnn_init(jax.random.key(0), cfg)
+    h, x, node_mask = make_inputs(jax.random.key(1))
+    edge_mask = build_edge_mask(node_mask)
+
+    h_ref, x_ref = egnn_apply(params, cfg, h, x, node_mask, edge_mask)
+    h_t, x_t = egnn_apply_pallas_tiled(
+        params, cfg, h, x, node_mask, interpret=True, tile=8
+    )
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_ref), atol=2e-5)
+
+
+def test_tiled_pads_to_tile_multiple():
+    # N=12 with tile 8 -> internal pad to 16, sliced back.
+    cfg = cfg_of()
+    params = egnn_init(jax.random.key(0), cfg)
+    h, x, node_mask = make_inputs(jax.random.key(1), n=12, n_real=(7, 12))
+    edge_mask = build_edge_mask(node_mask)
+
+    h_ref, x_ref = egnn_apply(params, cfg, h, x, node_mask, edge_mask)
+    h_t, x_t = egnn_apply_pallas_tiled(
+        params, cfg, h, x, node_mask, interpret=True, tile=8
+    )
+    assert h_t.shape == h_ref.shape and x_t.shape == x_ref.shape
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_ref), atol=2e-5)
+
+
+def test_tiled_grad_matches_xla():
+    cfg = cfg_of()
+    params = egnn_init(jax.random.key(0), cfg)
+    h, x, node_mask = make_inputs(jax.random.key(1))
+    edge_mask = build_edge_mask(node_mask)
+
+    def loss_xla(p):
+        h1, x1 = egnn_apply(p, cfg, h, x, node_mask, edge_mask)
+        return jnp.sum(h1 ** 2) + jnp.sum(x1 ** 2)
+
+    def loss_tiled(p):
+        h1, x1 = egnn_apply_pallas_tiled(
+            p, cfg, h, x, node_mask, interpret=True, tile=8
+        )
+        return jnp.sum(h1 ** 2) + jnp.sum(x1 ** 2)
+
+    g_ref = jax.grad(loss_xla)(params)
+    g_t = jax.grad(loss_tiled)(params)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_t),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=str(kp),
+        )
