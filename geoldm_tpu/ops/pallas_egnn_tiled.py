@@ -176,17 +176,29 @@ def _make_coord_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype):
 
 
 def _auto_tile(n: int, hidden: int) -> int:
-    """Largest row tile whose [T*N, H] slabs fit the VMEM budget.
+    """Row tile minimizing padded compute within the VMEM slab budget.
 
-    ~4 live f32 slab buffers; with the 64MB scoped limit the slab-row
-    budget is ~12k, with the default 16MB ~3k."""
+    ~4 live f32 [T, pad_n, H] slab buffers; with the 64MB scoped limit the
+    slab-row budget is ~16k, with the default 16MB ~4k. Among tiles that
+    fit, prefer the smallest padded N (N pads up to a tile multiple), then
+    the largest tile (fewer grid steps): e.g. N=88 -> one 88-row tile
+    (zero pad), N=184 -> 64-row tiles at pad 192."""
     from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
 
+    padded8 = -(-n // 8) * 8
     max_rows = scoped_vmem_limit_kib() * 1024 // (hidden * 4 * 4)
-    for t in (128, 64, 32, 16, 8):
-        if t * n <= max_rows:
-            return t
-    return 8
+    best_cost, best_t = None, 8
+    for t in range(8, min(256, padded8) + 1, 8):
+        pad_n = -(-padded8 // t) * t
+        if t * pad_n > max_rows:
+            continue
+        # Total pair-grid compute is pad_n^2 whatever the tile; small tiles
+        # add per-grid-step overhead (prologue + the [N, H] dst matmul
+        # recomputed per tile), modeled as the 8/t factor.
+        cost = pad_n * pad_n * (1.0 + 8.0 / t)
+        if best_cost is None or cost < best_cost:
+            best_cost, best_t = cost, t
+    return best_t
 
 
 def _call_rows(kernel, b: int, n: int, tile: int, out_feat: int,
