@@ -13,10 +13,12 @@ pallas_call per GCL suffices; the equivariant coordinate update needs the
 post-GCL h of *all* nodes, so it runs as a second tiled call. Per
 EquivariantBlock that is inv_sublayers + 1 tiny-launch kernels (GEOM: 2).
 
-The backward is the XLA block rematerialized (same 'xla' mode as the
-whole-molecule kernel): GEOM training keeps remat; the tiled kernels' win
-is the forward/sampling path, where XLA would stream [B, N, N, H] edge
-tensors through HBM.
+The backward defaults to fused tiled kernels too: each stage recomputes its
+row slab in VMEM and differentiates it with an in-kernel ``jax.vjp``
+(grads w.r.t. the full-column views accumulate across row tiles; row-view
+grads land in tile-indexed outputs summed outside; weight grads accumulate
+across the whole grid). GEOLDM_TILED_BWD=xla falls back to rematerializing
+and differentiating the XLA block.
 
 Semantics match nn.egnn.block_apply exactly (parity-tested against the
 reference egnn/egnn_new.py:108-147 via the XLA path).
@@ -25,6 +27,7 @@ reference egnn/egnn_new.py:108-147 via the XLA path).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -81,16 +84,16 @@ def _edge_pre_rows(cfg, compute_dtype, hi, h, eattr2, w1, b1, tile, n):
 
 
 def _gcl_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
-                   gw: dict, h, x, x0, node_mask):
+                   gw: dict, full, rows):
     """One GCL for rows [r0, r0+tile) against all N columns.
 
-    h [N, H], x/x0 [N, 3], node_mask [N, 1]; returns the updated h rows
-    [T, H]."""
+    ``full`` = (h [N,H], x [N,3], x0 [N,3], node_mask [N,1]); ``rows`` =
+    the same tensors pre-sliced to the tile (Mosaic has no dynamic_slice —
+    the tile views come from a second BlockSpec on the same arrays).
+    Returns the updated h rows [T, H]."""
     hidden = cfg.hidden_nf
-    hi = jax.lax.dynamic_slice_in_dim(h, r0, tile, 0)
-    xi = jax.lax.dynamic_slice_in_dim(x, r0, tile, 0)
-    x0i = jax.lax.dynamic_slice_in_dim(x0, r0, tile, 0)
-    mi = jax.lax.dynamic_slice_in_dim(node_mask, r0, tile, 0)  # [T, 1]
+    h, x, x0, node_mask = full
+    hi, xi, x0i, mi = rows
 
     eattr, _ = _pair_features(cfg, xi, x, x0i, x0)
     eattr2 = eattr.reshape(tile * n, -1)
@@ -116,12 +119,10 @@ def _gcl_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
 
 
 def _coord_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
-                     cw: dict, h, x, x0, node_mask):
+                     cw: dict, full, rows):
     """Equivariant coordinate update for rows [r0, r0+tile): [T, 3]."""
-    hi = jax.lax.dynamic_slice_in_dim(h, r0, tile, 0)
-    xi = jax.lax.dynamic_slice_in_dim(x, r0, tile, 0)
-    x0i = jax.lax.dynamic_slice_in_dim(x0, r0, tile, 0)
-    mi = jax.lax.dynamic_slice_in_dim(node_mask, r0, tile, 0)
+    h, x, x0, node_mask = full
+    hi, xi, x0i, mi = rows
 
     eattr, coord_diff = _pair_features(cfg, xi, x, x0i, x0)
     eattr2 = eattr.reshape(tile * n, -1)
@@ -149,30 +150,159 @@ _COORD_KEYS = ("w1", "b1", "w2", "b2", "w3")
 def _make_gcl_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
                           keys):
     def kernel(*refs):
-        h_ref, x_ref, x0_ref, mask_ref = refs[:4]
-        ws = {k: r[:] for k, r in zip(keys, refs[4:-1])}
+        full = tuple(r[0] for r in refs[:4])
+        rows = tuple(r[0] for r in refs[4:8])
+        ws = {k: r[:] for k, r in zip(keys, refs[8:-1])}
         out_ref = refs[-1]
         r0 = pl.program_id(1) * tile
-        out_ref[0] = _gcl_rows_math(
-            cfg, n, tile, r0, compute_dtype, ws,
-            h_ref[0], x_ref[0], x0_ref[0], mask_ref[0],
-        )
+        out_ref[0] = _gcl_rows_math(cfg, n, tile, r0, compute_dtype, ws,
+                                    full, rows)
 
     return kernel
 
 
 def _make_coord_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype):
     def kernel(*refs):
-        h_ref, x_ref, x0_ref, mask_ref = refs[:4]
-        ws = {k: r[:] for k, r in zip(_COORD_KEYS, refs[4:-1])}
+        full = tuple(r[0] for r in refs[:4])
+        rows = tuple(r[0] for r in refs[4:8])
+        ws = {k: r[:] for k, r in zip(_COORD_KEYS, refs[8:-1])}
         out_ref = refs[-1]
         r0 = pl.program_id(1) * tile
-        out_ref[0] = _coord_rows_math(
-            cfg, n, tile, r0, compute_dtype, ws,
-            h_ref[0], x_ref[0], x0_ref[0], mask_ref[0],
-        )
+        out_ref[0] = _coord_rows_math(cfg, n, tile, r0, compute_dtype, ws,
+                                      full, rows)
 
     return kernel
+
+
+def _accum_rows(ref, val, i):
+    """Initialize-then-accumulate a [1, ...] output block across grid steps."""
+    @pl.when(i == 0)
+    def _():
+        ref[0] = val
+
+    @pl.when(i > 0)
+    def _():
+        ref[0] = ref[0] + val
+
+
+def _accum_flat(ref, val, i):
+    @pl.when(i == 0)
+    def _():
+        ref[:] = val
+
+    @pl.when(i > 0)
+    def _():
+        ref[:] = ref[:] + val
+
+
+def _make_rows_bwd_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
+                          keys, math_fn):
+    """Backward kernel for one row-tiled stage (GCL or coord update).
+
+    Recomputes the stage's forward for its row slab and differentiates it
+    with an in-kernel ``jax.vjp``. Grads w.r.t. the full-array views
+    accumulate across row tiles (constant index_map); grads w.r.t. the row
+    views land in tile-indexed outputs (summed outside); weight grads
+    accumulate across the whole grid."""
+    nw = len(keys)
+
+    def kernel(*refs):
+        full = tuple(r[0] for r in refs[:4])
+        rows = tuple(r[0] for r in refs[4:8])
+        g_ref = refs[8]
+        ws = [r[:] for r in refs[9 : 9 + nw]]
+        outs = refs[9 + nw :]
+        dh_f_ref, dx_f_ref, dx0_f_ref = outs[:3]
+        dh_r_ref, dx_r_ref, dx0_r_ref = outs[3:6]
+        dw_refs = outs[6:]
+
+        h, x, x0, mask = full
+        hi, xi, x0i, mi = rows
+        it = pl.program_id(1)
+        r0 = it * tile
+
+        def f(ws_, h_, x_, x0_, hi_, xi_, x0i_):
+            wd = dict(zip(keys, ws_))
+            return math_fn(cfg, n, tile, r0, compute_dtype, wd,
+                           (h_, x_, x0_, mask), (hi_, xi_, x0i_, mi))
+
+        _, vjp_fn = jax.vjp(f, tuple(ws), h, x, x0, hi, xi, x0i)
+        dws, dh, dx, dx0, dhi, dxi, dx0i = vjp_fn(g_ref[0])
+        _accum_rows(dh_f_ref, dh, it)
+        _accum_rows(dx_f_ref, dx, it)
+        _accum_rows(dx0_f_ref, dx0, it)
+        dh_r_ref[0] = dhi
+        dx_r_ref[0] = dxi
+        dx0_r_ref[0] = dx0i
+        flat = pl.program_id(0) * pl.num_programs(1) + it
+        for dw_ref, dw in zip(dw_refs, dws):
+            _accum_flat(dw_ref, dw.astype(dw_ref.dtype), flat)
+
+    return kernel
+
+
+def _call_rows_bwd(cfg, n, tile, compute_dtype, keys, math_fn, cot_feat,
+                   interpret, args, g_rows, weights):
+    """Run a stage's backward kernel; returns (d_weights, dh, dx, dx0)."""
+    h, x, x0, node_mask = args
+    b, _, hidden = h.shape
+
+    def full_spec(feat):
+        return pl.BlockSpec((1, n, feat), lambda mb, it: (mb, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(feat):
+        return pl.BlockSpec((1, tile, feat), lambda mb, it: (mb, it, 0),
+                            memory_space=pltpu.VMEM)
+
+    def weight_spec(w):
+        return pl.BlockSpec(w.shape, lambda mb, it: (0,) * w.ndim,
+                            memory_space=pltpu.VMEM)
+
+    feats = (hidden, 3, 3, 1)
+    kernel = _make_rows_bwd_kernel(cfg, n, tile, compute_dtype, keys, math_fn)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            *[full_spec(f) for f in feats],
+            *[tile_spec(f) for f in feats],
+            tile_spec(cot_feat),
+            *[weight_spec(w) for w in weights],
+        ],
+        out_specs=[
+            full_spec(hidden), full_spec(3), full_spec(3),
+            tile_spec(hidden), tile_spec(3), tile_spec(3),
+            *[weight_spec(w) for w in weights],
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
+        ],
+        interpret=interpret,
+    )(h, x, x0, node_mask, h, x, x0, node_mask, g_rows, *weights)
+    dh = outs[0] + outs[3]
+    dx = outs[1] + outs[4]
+    dx0 = outs[2] + outs[5]
+    return list(outs[6:]), dh, dx, dx0
+
+
+def _auto_tile_bwd(n: int, hidden: int) -> int:
+    """Backward row tile: must divide the (already padded) N exactly, and
+    the in-kernel vjp keeps residual AND cotangent slabs live (~4x the
+    forward), so the slab budget is a quarter of the forward's."""
+    from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
+
+    max_rows = scoped_vmem_limit_kib() * 1024 // (hidden * 4 * 16)
+    for t in range(min(256, n), 0, -8):
+        if n % t == 0 and t * n <= max_rows:
+            return t
+    return 8
 
 
 def _auto_tile(n: int, hidden: int) -> int:
@@ -204,8 +334,12 @@ def _auto_tile(n: int, hidden: int) -> int:
 def _call_rows(kernel, b: int, n: int, tile: int, out_feat: int,
                out_dtype, interpret, args, weights):
     """Shared pallas_call plumbing for the row-tiled kernels."""
-    def full_spec(shape):
-        return pl.BlockSpec((1,) + shape, lambda mb, it: (mb,) + (0,) * len(shape),
+    def full_spec(feat):
+        return pl.BlockSpec((1, n, feat), lambda mb, it: (mb, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(feat):
+        return pl.BlockSpec((1, tile, feat), lambda mb, it: (mb, it, 0),
                             memory_space=pltpu.VMEM)
 
     def weight_spec(w):
@@ -214,14 +348,13 @@ def _call_rows(kernel, b: int, n: int, tile: int, out_feat: int,
 
     h, x, x0, node_mask = args
     hidden = h.shape[-1]
+    feats = (hidden, 3, 3, 1)
     return pl.pallas_call(
         kernel,
         grid=(b, n // tile),
         in_specs=[
-            full_spec((n, hidden)),
-            full_spec((n, 3)),
-            full_spec((n, 3)),
-            full_spec((n, 1)),
+            *[full_spec(f) for f in feats],
+            *[tile_spec(f) for f in feats],
             *[weight_spec(w) for w in weights],
         ],
         out_specs=pl.BlockSpec(
@@ -230,7 +363,7 @@ def _call_rows(kernel, b: int, n: int, tile: int, out_feat: int,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, out_feat), out_dtype),
         interpret=interpret,
-    )(h, x, x0, node_mask, *weights)
+    )(h, x, x0, node_mask, h, x, x0, node_mask, *weights)
 
 
 def _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
@@ -242,18 +375,7 @@ def _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
     assert n % t == 0, f"padded N {n} not divisible by tile {t}"
 
     for gcl in block_params["gcls"]:
-        gw = {
-            "w1": gcl["edge_mlp"][0]["w"], "b1": gcl["edge_mlp"][0]["b"],
-            "w2": gcl["edge_mlp"][1]["w"], "b2": gcl["edge_mlp"][1]["b"],
-            "wn1": gcl["node_mlp"][0]["w"], "bn1": gcl["node_mlp"][0]["b"],
-            "wn2": gcl["node_mlp"][1]["w"], "bn2": gcl["node_mlp"][1]["b"],
-        }
-        keys = list(_GCL_KEYS)
-        if cfg.attention:
-            gw["wa"] = gcl["att_mlp"]["w"]
-            gw["ba"] = gcl["att_mlp"]["b"]
-        else:
-            keys = [k for k in keys if k not in ("wa", "ba")]
+        gw, keys = _gcl_weight_dict(cfg, gcl)
         weights = [gw[k] for k in keys]
         kernel = _make_gcl_rows_kernel(cfg, n, t, compute_dtype, keys)
         h = _call_rows(kernel, b, n, t, hidden, h.dtype,
@@ -298,8 +420,95 @@ def _tfwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret,
     return out, (block_params, h, x, x0, node_mask)
 
 
+def _gcl_weight_dict(cfg, gcl):
+    gw = {
+        "w1": gcl["edge_mlp"][0]["w"], "b1": gcl["edge_mlp"][0]["b"],
+        "w2": gcl["edge_mlp"][1]["w"], "b2": gcl["edge_mlp"][1]["b"],
+        "wn1": gcl["node_mlp"][0]["w"], "bn1": gcl["node_mlp"][0]["b"],
+        "wn2": gcl["node_mlp"][1]["w"], "bn2": gcl["node_mlp"][1]["b"],
+    }
+    keys = list(_GCL_KEYS)
+    if cfg.attention:
+        gw["wa"] = gcl["att_mlp"]["w"]
+        gw["ba"] = gcl["att_mlp"]["b"]
+    else:
+        keys = [k for k in keys if k not in ("wa", "ba")]
+    return gw, keys
+
+
+def _unflatten_gcl_grads(cfg, dws, keys):
+    d = dict(zip(keys, dws))
+    g = {
+        "edge_mlp": ({"w": d["w1"], "b": d["b1"]},
+                     {"w": d["w2"], "b": d["b2"]}),
+        "node_mlp": ({"w": d["wn1"], "b": d["bn1"]},
+                     {"w": d["wn2"], "b": d["bn2"]}),
+    }
+    if cfg.attention:
+        g["att_mlp"] = {"w": d["wa"], "b": d["ba"]}
+    return g
+
+
+def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
+                          compute_dtype, interpret):
+    """Fused backward: recompute the GCL chain with the tiled forward
+    kernels (coordinates are only updated at the end of a block, so every
+    GCL sees the same x), then run each stage's in-kernel vjp in reverse."""
+    b, n, hidden = h.shape
+    t_f = _auto_tile(n, hidden)
+    t_f = min(t_f, n)
+    t_b = _auto_tile_bwd(n, hidden)
+
+    gcls = block_params["gcls"]
+    hs = [h]
+    for gcl in gcls:
+        gw, keys = _gcl_weight_dict(cfg, gcl)
+        weights = [gw[k] for k in keys]
+        kernel = _make_gcl_rows_kernel(cfg, n, t_f, compute_dtype, keys)
+        hs.append(_call_rows(kernel, b, n, t_f, hidden, h.dtype, interpret,
+                             (hs[-1], x, x0, node_mask), weights))
+
+    cw = {
+        "w1": block_params["coord_mlp"][0]["w"],
+        "b1": block_params["coord_mlp"][0]["b"],
+        "w2": block_params["coord_mlp"][1]["w"],
+        "b2": block_params["coord_mlp"][1]["b"],
+        "w3": block_params["coord_mlp"][2]["w"],
+    }
+    cweights = [cw[k] for k in _COORD_KEYS]
+    dcws, dh_c, dx, dx0 = _call_rows_bwd(
+        cfg, n, t_b, compute_dtype, _COORD_KEYS, _coord_rows_math, 3,
+        interpret, (hs[-1], x, x0, node_mask), g_x, cweights,
+    )
+    d_coord = ({"w": dcws[0], "b": dcws[1]}, {"w": dcws[2], "b": dcws[3]},
+               {"w": dcws[4]})
+
+    g = g_h + dh_c
+    d_gcls = [None] * len(gcls)
+    for k in range(len(gcls) - 1, -1, -1):
+        gw, keys = _gcl_weight_dict(cfg, gcls[k])
+        weights = [gw[kk] for kk in keys]
+        dws, g, dx_k, dx0_k = _call_rows_bwd(
+            cfg, n, t_b, compute_dtype, keys, _gcl_rows_math, hidden,
+            interpret, (hs[k], x, x0, node_mask), g, weights,
+        )
+        dx = dx + dx_k
+        dx0 = dx0 + dx0_k
+        d_gcls[k] = _unflatten_gcl_grads(cfg, dws, keys)
+
+    d_params = {"gcls": tuple(d_gcls), "coord_mlp": d_coord}
+    return d_params, g, dx, dx0
+
+
 def _tbwd(cfg, compute_dtype, interpret, tile, residuals, cotangents):
     block_params, h, x, x0, node_mask = residuals
+    if os.environ.get("GEOLDM_TILED_BWD", "pallas") == "pallas":
+        d_params, dh, dx, dx0 = _tiled_block_bwd_impl(
+            cfg, block_params, h, x, x0, node_mask,
+            cotangents[0], cotangents[1], compute_dtype, interpret,
+        )
+        return (d_params, dh, dx, dx0, jnp.zeros_like(node_mask))
+    # GEOLDM_TILED_BWD=xla: rematerialize + differentiate the XLA block.
     _, vjp_fn = jax.vjp(
         lambda p, h_, x_: _reference_block(cfg, p, h_, x_, x0, node_mask),
         block_params, h, x,
