@@ -187,11 +187,10 @@ def main() -> None:
     # kernel by default (1.4x the XLA grad path on v5e, and its backward
     # never materializes edge tensors so remat is unnecessary). The XLA
     # path needs remat: the f32 backward at these shapes OOMs 16GB HBM.
-    # GEOM's pad-184 molecules exceed the whole-molecule kernel's VMEM
-    # budget (184^2 pair rows) — its train bench stays on XLA+remat.
-    train_dtype = os.environ.get(
-        "GEOLDM_BENCH_TRAIN_DTYPE", "pallas" if dataset != "geom" else "float32"
-    )
+    # QM9 routes to the whole-molecule kernel, GEOM's pad-184 to the
+    # row-tiled kernels; both with fused in-kernel backward (1.79x / 1.73x
+    # the XLA+remat step respectively on v5e).
+    train_dtype = os.environ.get("GEOLDM_BENCH_TRAIN_DTYPE", "pallas")
     train_model_cfg = factory.make_latent_diffusion_config(
         info, trainable_ae=True, remat="pallas" not in train_dtype, **model_kw
     )
