@@ -49,9 +49,20 @@ Array = jax.Array
 def _edge_lowp_enabled() -> bool:
     """Run the edge-pipeline activation chain in the compute dtype (bf16).
 
-    Opt-in via GEOLDM_PALLAS_EDGE_LOWP=1 while under evaluation on this
-    toolchain; no effect when the compute dtype is None (f32)."""
+    Opt-in via GEOLDM_PALLAS_EDGE_LOWP=1: measured ~15% SLOWER than f32 on
+    v5e (the VPU transcendentals stay f32 and the cast chain dominates);
+    no effect when the compute dtype is None (f32)."""
     return os.environ.get("GEOLDM_PALLAS_EDGE_LOWP", "0") == "1"
+
+
+def _edge_itemsize(compute_dtype) -> int:
+    """Bytes per edge-activation element. bf16 compute only halves the
+    VMEM live set when the edge activations themselves run in bf16
+    (GEOLDM_PALLAS_EDGE_LOWP); with plain operand casting they stay f32,
+    so group/dispatch budgets must assume 4 bytes."""
+    if compute_dtype == jnp.bfloat16 and _edge_lowp_enabled():
+        return 2
+    return 4
 
 
 def _sigmoid(x):
@@ -387,9 +398,13 @@ def fused_block_apply(
 
     ``bwd_mode``: 'pallas' (fused backward kernel — residuals stay in VMEM)
     or 'xla' (rematerialize + differentiate the XLA block). The XLA mode
-    drops the gradient w.r.t. x0 (zero) — harmless for the GeoLDM models,
-    whose EGNN inputs never carry gradients upstream, but the pallas mode
-    computes it exactly."""
+    drops the gradient w.r.t. x0 (zero); the pallas mode computes it
+    exactly. Dropping it is safe for the GeoLDM models because no trainable
+    parameters sit upstream of any EGNN's coordinate input: the encoder and
+    classifier see raw data, and the denoiser/decoder see latents that are
+    stop_gradient-detached (diffusion/latent.py, matching the reference's
+    z.detach() at en_diffusion.py:1155) — but a model that feeds one
+    trainable EGNN's coordinate output into another must use 'pallas'."""
     return _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
                                  compute_dtype, interpret, group)
 
@@ -398,8 +413,7 @@ def _fused_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
                           compute_dtype, interpret, group=None):
     b, n, hidden = h.shape
     weights = _block_weight_list(block_params, cfg.attention)
-    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
-    g = group or _auto_group(b, n, hidden, itemsize)
+    g = group or _auto_group(b, n, hidden, _edge_itemsize(compute_dtype))
     assert b % g == 0, f"batch {b} not divisible by group {g}"
 
     def batch_spec(shape):
@@ -522,9 +536,11 @@ def _fwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret,
 def _bwd(cfg, compute_dtype, interpret, group, bwd_mode, residuals, cotangents):
     block_params, h, x, x0, node_mask = residuals
     if bwd_mode == "pallas":
+        # An explicit group override applies to the backward kernel too
+        # (callers forcing it accept the ~4x larger VMEM live set).
         d_params, dh, dx, dx0 = _fused_block_bwd_impl(
             cfg, block_params, h, x, x0, node_mask,
-            cotangents[0], cotangents[1], compute_dtype, interpret,
+            cotangents[0], cotangents[1], compute_dtype, interpret, group,
         )
         return (d_params, dh, dx, dx0, jnp.zeros_like(node_mask))
     # 'xla': differentiate the XLA reference block (rematerialized in HBM).
@@ -561,12 +577,12 @@ def egnn_apply_pallas(
 
     n = h.shape[1]
     padded_n = -(-n // 8) * 8
-    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
-    if group is None and padded_n * padded_n > 4096 * 4 // itemsize:
+    if group is None and padded_n * padded_n > 4096 * 4 // _edge_itemsize(compute_dtype):
         from geoldm_tpu.ops.pallas_egnn_tiled import egnn_apply_pallas_tiled
 
         return egnn_apply_pallas_tiled(
-            params, cfg, h, x, node_mask, compute_dtype, interpret
+            params, cfg, h, x, node_mask, compute_dtype, interpret,
+            bwd_mode=bwd_mode,
         )
 
     if bwd_mode is None:

@@ -241,12 +241,10 @@ def _make_rows_bwd_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
     return kernel
 
 
-def _call_rows_bwd(cfg, n, tile, compute_dtype, keys, math_fn, cot_feat,
-                   interpret, args, g_rows, weights):
-    """Run a stage's backward kernel; returns (d_weights, dh, dx, dx0)."""
-    h, x, x0, node_mask = args
-    b, _, hidden = h.shape
-
+def _row_specs(n: int, tile: int):
+    """The three BlockSpec builders every row-tiled call uses: full-array
+    view (constant over the row-tile grid axis), tile view, and
+    grid-resident weight."""
     def full_spec(feat):
         return pl.BlockSpec((1, n, feat), lambda mb, it: (mb, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -259,6 +257,15 @@ def _call_rows_bwd(cfg, n, tile, compute_dtype, keys, math_fn, cot_feat,
         return pl.BlockSpec(w.shape, lambda mb, it: (0,) * w.ndim,
                             memory_space=pltpu.VMEM)
 
+    return full_spec, tile_spec, weight_spec
+
+
+def _call_rows_bwd(cfg, n, tile, compute_dtype, keys, math_fn, cot_feat,
+                   interpret, args, g_rows, weights):
+    """Run a stage's backward kernel; returns (d_weights, dh, dx, dx0)."""
+    h, x, x0, node_mask = args
+    b, _, hidden = h.shape
+    full_spec, tile_spec, weight_spec = _row_specs(n, tile)
     feats = (hidden, 3, 3, 1)
     kernel = _make_rows_bwd_kernel(cfg, n, tile, compute_dtype, keys, math_fn)
     outs = pl.pallas_call(
@@ -334,18 +341,7 @@ def _auto_tile(n: int, hidden: int) -> int:
 def _call_rows(kernel, b: int, n: int, tile: int, out_feat: int,
                out_dtype, interpret, args, weights):
     """Shared pallas_call plumbing for the row-tiled kernels."""
-    def full_spec(feat):
-        return pl.BlockSpec((1, n, feat), lambda mb, it: (mb, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def tile_spec(feat):
-        return pl.BlockSpec((1, tile, feat), lambda mb, it: (mb, it, 0),
-                            memory_space=pltpu.VMEM)
-
-    def weight_spec(w):
-        return pl.BlockSpec(w.shape, lambda mb, it: (0,) * w.ndim,
-                            memory_space=pltpu.VMEM)
-
+    full_spec, tile_spec, weight_spec = _row_specs(n, tile)
     h, x, x0, node_mask = args
     hidden = h.shape[-1]
     feats = (hidden, 3, 3, 1)
@@ -381,13 +377,7 @@ def _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
         h = _call_rows(kernel, b, n, t, hidden, h.dtype,
                        interpret, (h, x, x0, node_mask), weights)
 
-    cw = {
-        "w1": block_params["coord_mlp"][0]["w"],
-        "b1": block_params["coord_mlp"][0]["b"],
-        "w2": block_params["coord_mlp"][1]["w"],
-        "b2": block_params["coord_mlp"][1]["b"],
-        "w3": block_params["coord_mlp"][2]["w"],
-    }
+    cw = _coord_weight_dict(block_params)
     weights = [cw[k] for k in _COORD_KEYS]
     kernel = _make_coord_rows_kernel(cfg, n, t, compute_dtype)
     x = _call_rows(kernel, b, n, t, 3, x.dtype,
@@ -395,7 +385,7 @@ def _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
     return h, x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8, 9))
 def tiled_block_apply(
     cfg: EGNNConfig,
     block_params: dict,
@@ -406,18 +396,31 @@ def tiled_block_apply(
     compute_dtype=None,
     interpret: bool = False,
     tile: Optional[int] = None,
+    bwd_mode: Optional[str] = None,
 ):
-    """One EquivariantBlock, row-tiled. Gradients rematerialize the XLA
-    block (the large-N training path keeps remat; see module docstring)."""
+    """One EquivariantBlock, row-tiled. The default backward is the fused
+    tiled in-kernel vjp (_tiled_block_bwd_impl); ``bwd_mode``/
+    GEOLDM_TILED_BWD=xla selects the rematerialized-XLA fallback instead
+    (see module docstring)."""
     return _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
                                  compute_dtype, interpret, tile)
 
 
 def _tfwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret,
-          tile):
+          tile, bwd_mode):
     out = _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
                                 compute_dtype, interpret, tile)
     return out, (block_params, h, x, x0, node_mask)
+
+
+def _coord_weight_dict(block_params):
+    return {
+        "w1": block_params["coord_mlp"][0]["w"],
+        "b1": block_params["coord_mlp"][0]["b"],
+        "w2": block_params["coord_mlp"][1]["w"],
+        "b2": block_params["coord_mlp"][1]["b"],
+        "w3": block_params["coord_mlp"][2]["w"],
+    }
 
 
 def _gcl_weight_dict(cfg, gcl):
@@ -450,14 +453,20 @@ def _unflatten_gcl_grads(cfg, dws, keys):
 
 
 def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
-                          compute_dtype, interpret):
+                          compute_dtype, interpret, tile=None):
     """Fused backward: recompute the GCL chain with the tiled forward
     kernels (coordinates are only updated at the end of a block, so every
-    GCL sees the same x), then run each stage's in-kernel vjp in reverse."""
+    GCL sees the same x), then run each stage's in-kernel vjp in reverse.
+
+    ``tile`` is the FORWARD tile the caller ran with (N was padded to a
+    multiple of it); the backward picks its own smaller tile but both must
+    divide N exactly — a non-dividing tile would truncate the row grid and
+    silently corrupt gradients."""
     b, n, hidden = h.shape
-    t_f = _auto_tile(n, hidden)
-    t_f = min(t_f, n)
+    t_f = min(tile or _auto_tile(n, hidden), n)
     t_b = _auto_tile_bwd(n, hidden)
+    assert n % t_f == 0, f"padded N {n} not divisible by fwd tile {t_f}"
+    assert n % t_b == 0, f"padded N {n} not divisible by bwd tile {t_b}"
 
     gcls = block_params["gcls"]
     hs = [h]
@@ -468,13 +477,7 @@ def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
         hs.append(_call_rows(kernel, b, n, t_f, hidden, h.dtype, interpret,
                              (hs[-1], x, x0, node_mask), weights))
 
-    cw = {
-        "w1": block_params["coord_mlp"][0]["w"],
-        "b1": block_params["coord_mlp"][0]["b"],
-        "w2": block_params["coord_mlp"][1]["w"],
-        "b2": block_params["coord_mlp"][1]["b"],
-        "w3": block_params["coord_mlp"][2]["w"],
-    }
+    cw = _coord_weight_dict(block_params)
     cweights = [cw[k] for k in _COORD_KEYS]
     dcws, dh_c, dx, dx0 = _call_rows_bwd(
         cfg, n, t_b, compute_dtype, _COORD_KEYS, _coord_rows_math, 3,
@@ -500,15 +503,23 @@ def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
     return d_params, g, dx, dx0
 
 
-def _tbwd(cfg, compute_dtype, interpret, tile, residuals, cotangents):
+def _tbwd(cfg, compute_dtype, interpret, tile, bwd_mode, residuals,
+          cotangents):
     block_params, h, x, x0, node_mask = residuals
-    if os.environ.get("GEOLDM_TILED_BWD", "pallas") == "pallas":
+    if bwd_mode is None:
+        bwd_mode = os.environ.get("GEOLDM_TILED_BWD", "pallas")
+    if bwd_mode == "pallas":
         d_params, dh, dx, dx0 = _tiled_block_bwd_impl(
             cfg, block_params, h, x, x0, node_mask,
-            cotangents[0], cotangents[1], compute_dtype, interpret,
+            cotangents[0], cotangents[1], compute_dtype, interpret, tile,
         )
         return (d_params, dh, dx, dx0, jnp.zeros_like(node_mask))
-    # GEOLDM_TILED_BWD=xla: rematerialize + differentiate the XLA block.
+    # 'xla': rematerialize + differentiate the XLA block. Drops the (exact)
+    # x0 gradient like the whole-molecule 'xla' mode — safe for the GeoLDM
+    # models because no trainable parameters sit upstream of any EGNN's
+    # coordinate input (data for encoder/classifier, stop_gradient-detached
+    # latents for denoiser/decoder; latent.py matches the reference's
+    # z.detach() at en_diffusion.py:1155).
     _, vjp_fn = jax.vjp(
         lambda p, h_, x_: _reference_block(cfg, p, h_, x_, x0, node_mask),
         block_params, h, x,
@@ -529,9 +540,12 @@ def egnn_apply_pallas_tiled(
     compute_dtype=None,
     interpret: bool = False,
     tile: Optional[int] = None,
+    bwd_mode: Optional[str] = None,
 ):
     """Full EGNN forward with row-tiled blocks (same contract as
-    nn.egnn.egnn_apply). Pads N up to a tile multiple internally."""
+    nn.egnn.egnn_apply). Pads N up to a tile multiple internally.
+    ``bwd_mode`` 'pallas'|'xla' selects the gradient path (default:
+    GEOLDM_TILED_BWD, itself defaulting to the fused tiled backward)."""
     from geoldm_tpu.nn.core import linear
 
     b, n, _ = h.shape
@@ -551,7 +565,8 @@ def egnn_apply_pallas_tiled(
         def body(carry, block_p):
             h, x = carry
             h, x = tiled_block_apply(
-                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret, t
+                cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret,
+                t, bwd_mode,
             )
             return (h, x), None
 

@@ -235,7 +235,12 @@ def evaluate_nll_packed(
 
         init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
         (total, _), _ = jax.lax.scan(body, init, data)
-        return total / m
+        return total / max(m, 1)
+
+    if m == 0:
+        # Empty split: match evaluate_nll's 0.0 (instead of scanning
+        # nothing and dividing 0/0).
+        return [0.0] * n_passes
 
     means = []
     for i in range(n_passes):

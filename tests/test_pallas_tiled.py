@@ -65,10 +65,21 @@ def test_tiled_pads_to_tile_multiple():
     np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_ref), atol=2e-5)
 
 
-def test_tiled_grad_matches_xla():
+@pytest.mark.parametrize(
+    "tile,n,n_real",
+    [
+        (8, 16, (11, 16)),
+        # Explicit tile that does not divide the raw N: the wrapper pads to
+        # 32 and the backward must reuse the SAME tile (a re-derived tile
+        # that doesn't divide the padded N would truncate the row grid and
+        # silently corrupt gradients).
+        (16, 24, (17, 24)),
+    ],
+)
+def test_tiled_grad_matches_xla(tile, n, n_real):
     cfg = cfg_of()
     params = egnn_init(jax.random.key(0), cfg)
-    h, x, node_mask = make_inputs(jax.random.key(1))
+    h, x, node_mask = make_inputs(jax.random.key(1), n=n, n_real=n_real)
     edge_mask = build_edge_mask(node_mask)
 
     def loss_xla(p):
@@ -77,7 +88,7 @@ def test_tiled_grad_matches_xla():
 
     def loss_tiled(p):
         h1, x1 = egnn_apply_pallas_tiled(
-            p, cfg, h, x, node_mask, interpret=True, tile=8
+            p, cfg, h, x, node_mask, interpret=True, tile=tile
         )
         return jnp.sum(h1 ** 2) + jnp.sum(x1 ** 2)
 
