@@ -56,7 +56,7 @@ def _bucket_pads(nodesxsample: np.ndarray, buckets) -> np.ndarray:
     return np.array(buckets)[np.searchsorted(buckets, nodesxsample)]
 
 
-def _bench_train(cfg, train_batch_size: int, pad: int, device_kind: str,
+def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
                  compute_dtype: str = "float32"):
     """Time the flagship jitted train step (bs x pad, trainable_ae)."""
     import jax
@@ -72,30 +72,15 @@ def _bench_train(cfg, train_batch_size: int, pad: int, device_kind: str,
     state, tx = ts.create_train_state(jax.random.key(0), cfg, train_cfg)
     step_fn = jax.jit(ts.make_train_step(cfg, train_cfg, tx, spec))
 
+    from geoldm_tpu.data.synthetic import synthetic_batch
+    from geoldm_tpu.models.distributions import DistributionNodes
+
     b, n = train_batch_size, pad
-    rng = np.random.default_rng(0)
-    sizes = rng.integers(max(3, n // 2), n + 1, size=b)
-    node_mask = (np.arange(n)[None, :] < sizes[:, None]).astype(np.float32)
-    x = rng.standard_normal((b, n, 3)).astype(np.float32) * node_mask[..., None]
-    x -= x.sum(1, keepdims=True) / sizes[:, None, None]
-    x *= node_mask[..., None]
-    num_classes = cfg.vae.num_classes if cfg.vae else cfg.diffusion.num_classes
-    h_cat = np.eye(num_classes, dtype=np.float32)[
-        rng.integers(0, num_classes, size=(b, n))
-    ] * node_mask[..., None]
-    edge_mask = node_mask[:, :, None] * node_mask[:, None, :]
-    edge_mask *= 1.0 - np.eye(n, dtype=np.float32)[None]
-    batch = {
-        "x": jnp.asarray(x),
-        "h_cat": jnp.asarray(h_cat),
-        "h_int": jnp.asarray(
-            rng.integers(1, 9, size=(b, n, 1)).astype(np.float32)
-            * node_mask[..., None]
-        ),
-        "node_mask": jnp.asarray(node_mask[..., None]),
-        "edge_mask": jnp.asarray(edge_mask[..., None]),
-        "log_pN": jnp.asarray(rng.standard_normal(b).astype(np.float32)),
-    }
+    batch_np = synthetic_batch(info, b, pad_nodes=n, rng=np.random.default_rng(0))
+    batch_np["log_pN"] = DistributionNodes(info.n_nodes).log_prob(
+        batch_np.pop("n_atoms")
+    ).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     key = jax.random.key(1)
     t0 = time.perf_counter()
@@ -247,7 +232,7 @@ def main() -> None:
     }
     if bench_train:
         steps_per_sec, ms_per_step, train_mfu = _bench_train(
-            train_model_cfg, train_bs, train_pad, device_kind, train_dtype
+            train_model_cfg, info, train_bs, train_pad, device_kind, train_dtype
         )
         result.update(
             train_steps_per_sec=round(steps_per_sec, 2),

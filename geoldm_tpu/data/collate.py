@@ -26,6 +26,54 @@ def build_masks(n_atoms: np.ndarray, pad_nodes: int):
     return node_mask, edge_mask
 
 
+def prepare_split_arrays(
+    num_atoms: np.ndarray,
+    positions: np.ndarray,
+    one_hot: np.ndarray,
+    charges: np.ndarray,
+    pad_nodes: int,
+    include_charges: bool,
+) -> Dict[str, np.ndarray]:
+    """Pad, CoM-center, and mask already-stacked split arrays.
+
+    The single source of the model-input convention (x CoM-centered on real
+    atoms — reference train_test.py:28 — h_cat/h_int masked, width padded
+    to ``pad_nodes``), shared by QM9Loader batches and the device-resident
+    packed-NLL path so the two can't drift apart. Returns x / h_cat /
+    h_int / node_mask; edge masks are built separately (host: build_masks,
+    device: ops.distance.build_edge_mask)."""
+    num_atoms = np.asarray(num_atoms)
+    m = len(num_atoms)
+    stored_n = positions.shape[1]
+    assert stored_n <= pad_nodes, (
+        f"pad_nodes={pad_nodes} < stored width {stored_n}"
+    )
+    pad_extra = pad_nodes - stored_n
+    pos = positions.astype(np.float32)
+    oh = one_hot.astype(np.float32)
+    ch = charges.astype(np.float32)
+    if pad_extra:
+        pos = np.pad(pos, ((0, 0), (0, pad_extra), (0, 0)))
+        oh = np.pad(oh, ((0, 0), (0, pad_extra), (0, 0)))
+        ch = np.pad(ch, ((0, 0), (0, pad_extra)))
+    node_mask = (
+        np.arange(pad_nodes)[None, :] < num_atoms[:, None]
+    ).astype(np.float32)[..., None]
+    mean = pos.sum(axis=1, keepdims=True) / np.maximum(num_atoms[:, None, None], 1)
+    pos = (pos - mean) * node_mask
+    h_int = (
+        (ch[..., None] * node_mask).astype(np.float32)
+        if include_charges
+        else np.zeros((m, pad_nodes, 0), dtype=np.float32)
+    )
+    return {
+        "x": pos,
+        "h_cat": oh * node_mask,
+        "h_int": h_int,
+        "node_mask": node_mask,
+    }
+
+
 def collate_molecules(
     positions: Sequence[np.ndarray],
     one_hot: Sequence[np.ndarray],

@@ -340,42 +340,18 @@ class QM9Loader:
         stop = (
             len(self) * self.batch_size if self.drop_last else self.num_molecules
         )
-        from geoldm_tpu.data.collate import build_masks
+        from geoldm_tpu.data.collate import build_masks, prepare_split_arrays
 
         d = self.data
-        stored_n = d["positions"].shape[1]
-        assert stored_n <= self.pad_nodes, (
-            f"pad_nodes={self.pad_nodes} < stored width {stored_n}"
-        )
-        pad_extra = self.pad_nodes - stored_n
         for start in range(0, stop, self.batch_size):
             idx = order[start : start + self.batch_size]
             n_atoms = d["num_atoms"][idx]
-            pos = d["positions"][idx].astype(np.float32)
-            oh = d["one_hot"][idx].astype(np.float32)
-            ch = d["charges"][idx].astype(np.float32)
-            if pad_extra:
-                pos = np.pad(pos, ((0, 0), (0, pad_extra), (0, 0)))
-                oh = np.pad(oh, ((0, 0), (0, pad_extra), (0, 0)))
-                ch = np.pad(ch, ((0, 0), (0, pad_extra)))
-            node_mask, edge_mask = build_masks(n_atoms, self.pad_nodes)
-            # CoM-center the real atoms (reference: train_test.py:28).
-            mean = pos.sum(axis=1, keepdims=True) / np.maximum(
-                n_atoms[:, None, None], 1
+            batch = prepare_split_arrays(
+                n_atoms, d["positions"][idx], d["one_hot"][idx],
+                d["charges"][idx], self.pad_nodes, self.include_charges,
             )
-            pos = (pos - mean) * node_mask
-            batch = {
-                "x": pos,
-                "h_cat": oh * node_mask,
-                "h_int": (
-                    (ch[..., None] * node_mask).astype(np.float32)
-                    if self.include_charges
-                    else np.zeros((len(idx), self.pad_nodes, 0), dtype=np.float32)
-                ),
-                "node_mask": node_mask,
-                "edge_mask": edge_mask,
-                "n_atoms": n_atoms,
-            }
+            _, batch["edge_mask"] = build_masks(n_atoms, self.pad_nodes)
+            batch["n_atoms"] = n_atoms
             for prop in self.properties:
                 batch[prop] = d[prop][idx].astype(np.float32)
             yield batch

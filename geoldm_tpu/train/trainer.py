@@ -170,33 +170,21 @@ def evaluate_nll_packed(
     from geoldm_tpu.models import factory
     from geoldm_tpu.ops.distance import build_edge_mask
 
+    from geoldm_tpu.data.collate import prepare_split_arrays
+
     d = split
     m = len(d["num_atoms"])
-    stored_n = d["positions"].shape[1]
-    n = pad_nodes or stored_n
-    assert stored_n <= n
-    pad_extra = n - stored_n
-
+    n = pad_nodes or d["positions"].shape[1]
     n_atoms = np.asarray(d["num_atoms"])
-    node_mask = (
-        np.arange(n)[None, :] < n_atoms[:, None]
-    ).astype(np.float32)[..., None]
-    pos = d["positions"].astype(np.float32)
-    oh = d["one_hot"].astype(np.float32)
-    ch = d["charges"].astype(np.float32)
-    if pad_extra:
-        pos = np.pad(pos, ((0, 0), (0, pad_extra), (0, 0)))
-        oh = np.pad(oh, ((0, 0), (0, pad_extra), (0, 0)))
-        ch = np.pad(ch, ((0, 0), (0, pad_extra)))
-    mean_pos = pos.sum(axis=1, keepdims=True) / np.maximum(n_atoms[:, None, None], 1)
-    pos = (pos - mean_pos) * node_mask
     include_charges = (
         model_cfg.vae.include_charges if model_cfg.vae
         else model_cfg.diffusion.include_charges
     )
-    h_int = (
-        (ch[..., None] * node_mask).astype(np.float32)
-        if include_charges else np.zeros((m, n, 0), dtype=np.float32)
+    arrs = prepare_split_arrays(
+        n_atoms, d["positions"], d["one_hot"], d["charges"], n, include_charges
+    )
+    pos, hc, h_int, node_mask = (
+        arrs["x"], arrs["h_cat"], arrs["h_int"], arrs["node_mask"]
     )
     log_pN = nodes_dist.log_prob(n_atoms).astype(np.float32)
 
@@ -217,8 +205,7 @@ def evaluate_nll_packed(
         return jnp.asarray(a.reshape((steps, batch_size) + a.shape[1:]))
 
     data = tuple(
-        pack(a)
-        for a in (pos, oh * node_mask, h_int, node_mask, log_pN, weight)
+        pack(a) for a in (pos, hc, h_int, node_mask, log_pN, weight)
     )
 
     nll_fn = factory.model_nll_fn(model_cfg, training=False,
