@@ -37,6 +37,7 @@ Env knobs:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -67,10 +68,17 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
     from geoldm_tpu.train import train_step as ts
     from geoldm_tpu.utils import flops as flops_mod
 
+    from geoldm_tpu.utils.tpuflags import train_step_compiler_options
+
     train_cfg = TrainConfig(compute_dtype=compute_dtype)
     spec = resolve_compute(None if compute_dtype == "float32" else compute_dtype)
     state, tx = ts.create_train_state(jax.random.key(0), cfg, train_cfg)
-    step_fn = jax.jit(ts.make_train_step(cfg, train_cfg, tx, spec))
+    # The fused pallas backward needs the raised scoped-VMEM limit — applied
+    # per-compile so the sampling programs in this same process keep the
+    # default (a global raise measured the sampler 25% slower).
+    opts = train_step_compiler_options(compute_dtype)
+    step_fn = jax.jit(ts.make_train_step(cfg, train_cfg, tx, spec),
+                      compiler_options=opts)
 
     from geoldm_tpu.data.synthetic import synthetic_batch
     from geoldm_tpu.models.distributions import DistributionNodes
@@ -101,7 +109,7 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
     # Device time: K steps scanned inside ONE jitted program — no dispatch.
     raw_step = ts.make_train_step(cfg, train_cfg, tx, spec)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=opts)
     def multi_step(state, batch, key):
         def body(st, i):
             st, m = raw_step(st, batch, jax.random.fold_in(key, i))
@@ -129,12 +137,6 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
 
 
 def main() -> None:
-    if "pallas" in os.environ.get("GEOLDM_BENCH_DTYPE", "") or "pallas" in os.environ.get(
-        "GEOLDM_BENCH_TRAIN_DTYPE", "pallas"
-    ):
-        from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
-
-        ensure_scoped_vmem_limit()
     import jax
 
     from geoldm_tpu.data.datasets_config import get_dataset_info

@@ -28,10 +28,6 @@ def main(argv=None) -> None:
     p.add_argument("--remat", type=eval, default=False)
     args = p.parse_args(argv)
 
-    if "pallas" in args.compute_dtype:
-        from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
-
-        ensure_scoped_vmem_limit()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,8 +51,11 @@ def main(argv=None) -> None:
     )
     tc = TrainConfig(lr=1e-4, ema_decay=0.9999)
     state, tx = create_train_state(jax.random.key(0), cfg, tc)
+    from geoldm_tpu.utils.tpuflags import train_step_compiler_options
+
     step = jax.jit(
-        make_train_step(cfg, tc, tx, resolve_compute(args.compute_dtype))
+        make_train_step(cfg, tc, tx, resolve_compute(args.compute_dtype)),
+        compiler_options=train_step_compiler_options(args.compute_dtype),
     )
 
     batch_np = synthetic_batch(

@@ -133,12 +133,6 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
 
     ``loaders`` overrides the default QM9Loader construction (the GEOM entry
     point passes size-bucketed GeomLoaders and splits=None)."""
-    if "pallas" in args.compute_dtype:
-        # The fused backward kernel needs more than the default 16MB scoped
-        # VMEM at flagship shapes; must happen before the backend initializes.
-        from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
-
-        ensure_scoped_vmem_limit()
     import jax
 
     from geoldm_tpu.utils.jaxcache import setup_compilation_cache
@@ -249,7 +243,15 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
             ema_params=jax.device_put(state.ema_params, p_sh),
         )
 
-    train_step = jax.jit(make_train_step(model_cfg, train_cfg, tx, compute_dtype))
+    from geoldm_tpu.utils.tpuflags import train_step_compiler_options
+
+    # The fused pallas backward needs a raised scoped-VMEM limit — applied
+    # per-compile to the train step ONLY (forward programs like the
+    # periodic sampler stay at the default limit, which XLA prefers).
+    train_step = jax.jit(
+        make_train_step(model_cfg, train_cfg, tx, compute_dtype),
+        compiler_options=train_step_compiler_options(compute_dtype),
+    )
     eval_nll = jax.jit(make_eval_nll(model_cfg, compute_dtype))
 
     if model_cfg.kind != "vae":

@@ -43,10 +43,6 @@ def parse_args(argv=None):
 
 def main(argv=None) -> None:
     args = parse_args(argv)
-    if "pallas" in args.compute_dtype:
-        from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
-
-        ensure_scoped_vmem_limit()
     import jax
     import numpy as np
 

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from geoldm_tpu.config import EGNNConfig
 from geoldm_tpu.ops.distance import _FREQUENCIES
-from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
+from geoldm_tpu.utils.tpuflags import DEFAULT_SCOPED_VMEM_KIB
 
 Array = jax.Array
 
@@ -365,9 +365,12 @@ def _auto_group_bwd(b: int, n: int, hidden: int) -> int:
     forward residuals AND edge-sized cotangents live in VMEM (~4x the
     forward's live set), so the pair-row budget is a quarter of the
     forward's. Measured on v5e: 1024 rows -> 17.26MB live (~17KB/row), so
-    the budget is limit/17KB with ~5% headroom."""
+    the budget is limit/17KB with ~5% headroom. Budgets for the raised
+    64MB limit: the enclosing jit MUST pass
+    tpuflags.grad_compiler_options() (a train step compiled without it
+    fails with a scoped-VMEM OOM naming this kernel)."""
     padded_n = -(-n // 8) * 8
-    max_rows = max(256, int(scoped_vmem_limit_kib() * 0.95) * 1024 // (17 * 1024))
+    max_rows = max(256, int(DEFAULT_SCOPED_VMEM_KIB * 0.95) * 1024 // (17 * 1024))
     if hidden > 256:
         max_rows = max_rows * 256 // hidden
     if n % 8 != 0:

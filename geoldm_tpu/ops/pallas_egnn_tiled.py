@@ -302,10 +302,12 @@ def _call_rows_bwd(cfg, n, tile, compute_dtype, keys, math_fn, cot_feat,
 def _auto_tile_bwd(n: int, hidden: int) -> int:
     """Backward row tile: must divide the (already padded) N exactly, and
     the in-kernel vjp keeps residual AND cotangent slabs live (~4x the
-    forward), so the slab budget is a quarter of the forward's."""
-    from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
+    forward), so the slab budget is a quarter of the forward's. Budgets
+    for the raised 64MB scoped limit — the enclosing jit MUST pass
+    tpuflags.grad_compiler_options() (see tpuflags module docs)."""
+    from geoldm_tpu.utils.tpuflags import DEFAULT_SCOPED_VMEM_KIB
 
-    max_rows = scoped_vmem_limit_kib() * 1024 // (hidden * 4 * 16)
+    max_rows = DEFAULT_SCOPED_VMEM_KIB * 1024 // (hidden * 4 * 16)
     for t in range(min(256, n), 0, -8):
         if n % t == 0 and t * n <= max_rows:
             return t
@@ -315,15 +317,16 @@ def _auto_tile_bwd(n: int, hidden: int) -> int:
 def _auto_tile(n: int, hidden: int) -> int:
     """Row tile minimizing padded compute within the VMEM slab budget.
 
-    ~4 live f32 [T, pad_n, H] slab buffers; with the 64MB scoped limit the
-    slab-row budget is ~16k, with the default 16MB ~4k. Among tiles that
-    fit, prefer the smallest padded N (N pads up to a tile multiple), then
-    the largest tile (fewer grid steps): e.g. N=88 -> one 88-row tile
-    (zero pad), N=184 -> 64-row tiles at pad 192."""
-    from geoldm_tpu.utils.tpuflags import scoped_vmem_limit_kib
+    ~4 live f32 [T, pad_n, H] slab buffers budgeted against libtpu's
+    DEFAULT 16MB scoped limit (~4k slab rows at H=256): forward kernels
+    run inside sampler/eval jits that deliberately do NOT raise the limit
+    (a raised limit slows XLA's own fusions — see tpuflags module docs).
+    Cost model: total pair-grid compute is pad_n^2 whatever the tile;
+    small tiles add per-grid-step overhead."""
+    from geoldm_tpu.utils.tpuflags import DEFAULT_SCOPED_VMEM_BUDGET_KIB
 
     padded8 = -(-n // 8) * 8
-    max_rows = scoped_vmem_limit_kib() * 1024 // (hidden * 4 * 4)
+    max_rows = DEFAULT_SCOPED_VMEM_BUDGET_KIB * 1024 // (hidden * 4 * 4)
     best_cost, best_t = None, 8
     for t in range(8, min(256, padded8) + 1, 8):
         pad_n = -(-padded8 // t) * t

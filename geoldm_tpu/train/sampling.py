@@ -64,12 +64,16 @@ def sample(
     compute_dtype: Optional[str] = None,
     rng: Optional[np.random.Generator] = None,
     mesh=None,
+    as_numpy: bool = True,
 ):
     """Generate molecules with the requested atom counts.
 
     Returns (one_hot, charges, x, node_mask) as numpy arrays. With ``mesh``
     the batch is sharded over the mesh's data axis (generation fans out
     across chips; GSPMD partitions the scanned sampler).
+    ``as_numpy=False`` skips the device->host sync and returns the first
+    three as (still-computing) device arrays — callers dispatching many
+    chunks use it to pipeline device work with transfers.
     reference: qm9/sampling.py:110-154."""
     max_n_nodes = pad_nodes or dataset_info["max_n_nodes"]
     nodesxsample = np.asarray(nodesxsample)
@@ -117,6 +121,8 @@ def sample(
         params, key, node_mask_dev, edge_mask_dev,
         context_dev, fix_noise=fix_noise,
     )
+    if not as_numpy:
+        return h_cat, h_int, x, node_mask_np[:n_req]
     return (
         np.asarray(h_cat)[:n_req],
         np.asarray(h_int)[:n_req],
@@ -170,6 +176,7 @@ def sample_bucketed(
     # no per-molecule Python work (this was a measurable tail at 10k).
     s = len(dataset_info["atom_decoder"])
     out = None
+    pending = []
     for pad in buckets:
         lo = 0 if pad == buckets[0] else buckets[buckets.index(pad) - 1]
         idxs = np.where((nodesxsample > lo) & (nodesxsample <= pad))[0]
@@ -189,21 +196,27 @@ def sample_bucketed(
                     [sizes, np.full(bsz - n_real, sizes[-1], dtype=sizes.dtype)]
                 )
             key, sub = jax.random.split(key)
-            one_hot, charges, x, node_mask = sample(
+            res = sample(
                 model_cfg, params, sub, dataset_info, sizes, prop_dist=prop_dist,
                 fix_noise=fix_noise, pad_nodes=pad, compute_dtype=compute_dtype,
-                rng=rng, mesh=mesh,
+                rng=rng, mesh=mesh, as_numpy=False,
             )
-            if out is None:
-                inc = charges.shape[-1]
-                out = (
-                    np.zeros((m, max_pad, s), dtype=np.float32),
-                    np.zeros((m, max_pad, inc), dtype=np.float32),
-                    np.zeros((m, max_pad, 3), dtype=np.float32),
-                    np.zeros((m, max_pad, 1), dtype=np.float32),
-                )
-            for dst, src in zip(out, (one_hot, charges, x, node_mask)):
-                dst[chunk, :pad] = np.asarray(src)[:n_real]
+            pending.append((chunk, pad, n_real, res))
+    # All chunks are dispatched before any device->host sync: jax's async
+    # dispatch keeps the device queue full, overlapping chunk k+1's
+    # sampling with chunk k's transfer (at 10k molecules through a
+    # high-RTT tunnel this recovers several seconds of dead time).
+    for chunk, pad, n_real, (one_hot, charges, x, node_mask) in pending:
+        if out is None:
+            inc = charges.shape[-1]
+            out = (
+                np.zeros((m, max_pad, s), dtype=np.float32),
+                np.zeros((m, max_pad, inc), dtype=np.float32),
+                np.zeros((m, max_pad, 3), dtype=np.float32),
+                np.zeros((m, max_pad, 1), dtype=np.float32),
+            )
+        for dst, src in zip(out, (one_hot, charges, x, node_mask)):
+            dst[chunk, :pad] = np.asarray(src)[:n_real]
     return out
 
 

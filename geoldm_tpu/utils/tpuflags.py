@@ -1,41 +1,43 @@
-"""TPU runtime flags the fused Pallas kernels depend on.
+"""TPU compile options the fused Pallas backward kernels depend on.
 
 The fused EquivariantBlock kernels keep ``[G*N*N, H]`` pair buffers live in
 VMEM. At flagship QM9 denoiser shapes (N=32, H=256) the *backward* kernel's
 live set (~17.3 MB even at group=1) exceeds libtpu's default 16 MB
-scoped-VMEM allocation, so any pallas-backed training run must raise the
-limit BEFORE libtpu initializes. A v5e core carries 128 MB of VMEM; 64 MB
-scoped leaves XLA plenty for its own buffers and measures 1.26x faster
-value+grad than the XLA path (scripts/bench_pallas_bwd.py).
+scoped-VMEM allocation, so **any jitted program containing a fused
+backward** (a train step with the pallas compute backend) must be compiled
+with :func:`grad_compiler_options`. A v5e core carries 128 MB of VMEM;
+64 MB scoped leaves XLA plenty for its own buffers and measures 1.79x
+faster train steps than the XLA+remat path (scripts/bench_pallas_bwd.py,
+bench.py).
 
-The kernel group-size heuristics (ops/pallas_egnn.py:_auto_group*) read the
-limit back via :func:`scoped_vmem_limit_kib` so their VMEM budgets always
-match what the runtime actually granted.
+The limit is deliberately applied PER-COMPILE (``jax.jit(...,
+compiler_options=...)``), never process-globally via LIBTPU_INIT_ARGS: a
+globally raised limit changes XLA's own fusion choices and measured the
+bfloat16_mixed sampler 25% slower (36.5 vs 48.9 mol/s on v5e). Forward-only
+programs (samplers, NLL eval) therefore compile with the default limit, and
+the forward kernels' group/tile heuristics budget for 16 MB; the backward
+heuristics (ops/pallas_egnn.py:_auto_group_bwd,
+ops/pallas_egnn_tiled.py:_auto_tile_bwd) budget for
+``DEFAULT_SCOPED_VMEM_KIB`` on the contract that their enclosing jit passed
+these options.
 """
 
 from __future__ import annotations
 
-import os
-import re
-
 DEFAULT_SCOPED_VMEM_KIB = 65536
-_FLAG = "--xla_tpu_scoped_vmem_limit_kib"
+DEFAULT_SCOPED_VMEM_BUDGET_KIB = 16384  # libtpu default, forward-path budget
 
 
-def ensure_scoped_vmem_limit(kib: int = DEFAULT_SCOPED_VMEM_KIB) -> None:
-    """Append the scoped-VMEM flag to LIBTPU_INIT_ARGS if absent.
-
-    Must run before jax initializes the TPU backend (i.e. before the first
-    ``jax.devices()`` / ``jax.default_backend()`` call). A no-op if the
-    user already pinned the flag themselves.
-    """
-    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if _FLAG in cur:
-        return
-    os.environ["LIBTPU_INIT_ARGS"] = (cur + " " if cur else "") + f"{_FLAG}={kib}"
+def grad_compiler_options(kib: int = DEFAULT_SCOPED_VMEM_KIB) -> dict:
+    """``compiler_options`` for any jit whose backward runs a fused Pallas
+    kernel: ``jax.jit(fn, compiler_options=grad_compiler_options())``."""
+    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
 
 
-def scoped_vmem_limit_kib() -> int:
-    """The scoped-VMEM limit the TPU runtime will enforce (KiB)."""
-    m = re.search(rf"{_FLAG}=(\d+)", os.environ.get("LIBTPU_INIT_ARGS", ""))
-    return int(m.group(1)) if m else 16384
+def train_step_compiler_options(compute_dtype) -> dict | None:
+    """The options a train-step jit needs for the given compute mode
+    (None when the XLA path is used and the default limit suffices)."""
+    name = getattr(compute_dtype, "backend", compute_dtype)
+    if isinstance(name, str) and "pallas" in name:
+        return grad_compiler_options()
+    return None

@@ -15,6 +15,7 @@ Usage: python scripts/bench_pallas_bwd.py [--b 64] [--n 32] [--layers 9]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -40,11 +41,6 @@ def main() -> None:
     p.add_argument("--vmem_kib", type=int, default=None,
                    help="Scoped-VMEM limit override (default: tpuflags default)")
     args = p.parse_args()
-
-    from geoldm_tpu.utils.tpuflags import ensure_scoped_vmem_limit
-
-    if not args.interpret:
-        ensure_scoped_vmem_limit(*([args.vmem_kib] if args.vmem_kib else []))
 
     import jax
     import jax.numpy as jnp
@@ -102,7 +98,17 @@ def main() -> None:
         else:
             step = jax.grad(loss)
 
-        @jax.jit
+        from geoldm_tpu.utils.tpuflags import grad_compiler_options
+
+        # The fused backward needs the raised scoped-VMEM limit; applied
+        # per-compile (uniformly across modes so timings are comparable).
+        opts = None
+        if not args.interpret and not args.fwd_only:
+            opts = grad_compiler_options(
+                *([args.vmem_kib] if args.vmem_kib else [])
+            )
+
+        @functools.partial(jax.jit, compiler_options=opts)
         def many(p):
             def body(acc, _):
                 out = step(p)
