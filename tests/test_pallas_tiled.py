@@ -102,3 +102,34 @@ def test_tiled_grad_matches_xla(tile, n, n_real):
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
             err_msg=str(kp),
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sin_emb", [False, True])
+def test_tiled_bwd_modes_agree(sin_emb):
+    """The fused tiled backward and the XLA-remat fallback produce the same
+    parameter gradients (multi-sublayer config exercises the recomputed
+    GCL chain)."""
+    cfg = cfg_of(sin_embedding=sin_emb, inv_sublayers=2)
+    params = egnn_init(jax.random.key(0), cfg)
+    h, x, node_mask = make_inputs(jax.random.key(1))
+
+    def loss(bwd_mode):
+        def f(p):
+            h1, x1 = egnn_apply_pallas_tiled(
+                p, cfg, h, x, node_mask, interpret=True, tile=8,
+                bwd_mode=bwd_mode,
+            )
+            return jnp.sum(h1 ** 2) + jnp.sum(x1 ** 2)
+        return f
+
+    g_p = jax.grad(loss("pallas"))(params)
+    g_x = jax.grad(loss("xla"))(params)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_x),
+        jax.tree_util.tree_leaves_with_path(g_p),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=str(kp),
+        )
