@@ -104,6 +104,46 @@ def test_tiled_grad_matches_xla(tile, n, n_real):
         )
 
 
+FUZZ_CONFIGS = [
+    # (n_layers, inv_sub, attention, tanh, norm_const, agg, norm_factor, sin)
+    (1, 1, True, True, 1.0, "sum", 1.0, False),
+    (3, 1, True, True, 0.0, "sum", 1.0, False),
+    (2, 2, False, True, 1.0, "mean", 1.0, False),
+    (2, 1, True, False, 2.0, "sum", 4.0, True),
+    (1, 3, True, True, 0.5, "sum", 100.0, False),
+    (2, 2, True, True, 1.0, "sum", 1.0, True),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "spec", FUZZ_CONFIGS, ids=[str(i) for i in range(len(FUZZ_CONFIGS))]
+)
+def test_tiled_fuzz_matches_xla(spec):
+    """Config sweep for the row-tiled path against the XLA path (which is
+    itself golden-parity-tested vs the torch reference), mirroring the
+    whole-molecule kernel's fuzz campaign."""
+    n_layers, inv_sub, attention, tanh, norm_const, agg, norm_factor, sin = spec
+    cfg = EGNNConfig(
+        in_node_nf=4, out_node_nf=6, hidden_nf=24, n_layers=n_layers,
+        inv_sublayers=inv_sub, attention=attention, tanh=tanh,
+        coords_range=15.0, norm_constant=norm_const, sin_embedding=sin,
+        normalization_factor=norm_factor, aggregation_method=agg,
+    )
+    seed = abs(hash(spec)) % (2**31)
+    params = egnn_init(jax.random.key(seed), cfg)
+    h, x, node_mask = make_inputs(
+        jax.random.key(seed + 1), n=16, in_nf=4, n_real=(9, 16)
+    )
+    edge_mask = build_edge_mask(node_mask)
+    h_ref, x_ref = egnn_apply(params, cfg, h, x, node_mask, edge_mask)
+    h_t, x_t = egnn_apply_pallas_tiled(
+        params, cfg, h, x, node_mask, interpret=True, tile=8
+    )
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_ref), atol=3e-5)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("sin_emb", [False, True])
 def test_tiled_bwd_modes_agree(sin_emb):
