@@ -22,7 +22,7 @@ input + weight gradients without ever materializing edge-sized tensors in
 HBM (1.26x faster value+grad than the XLA path on v5e at flagship shapes);
 'xla' rematerializes + differentiates the reference XLA block. The fused
 backward's VMEM live set exceeds libtpu's default 16MB scoped allocation at
-N=32/H=256 — training entry points raise it via utils.tpuflags.
+N=32/H=256 — train-step jits pass utils.tpuflags.grad_compiler_options().
 
 Semantics match geoldm_tpu.nn.egnn.block_apply exactly (which itself is
 forward-parity-tested against the reference egnn/egnn_new.py:108-147).

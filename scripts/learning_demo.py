@@ -10,8 +10,12 @@ Measured on a TPU v5e:
                         bfloat16_full and the fused pallas backend.
 
 Run: python scripts/learning_demo.py
+Env:  GEOLDM_DEMO_STEPS (default 10000)
+      GEOLDM_DEMO_TRAIN_DTYPE float32|pallas|bfloat16 (default float32) —
+      "pallas" trains with the fused forward+backward kernels (validated
+      on v5e: same stability trajectory as f32)
 """
-import time, numpy as np, jax, jax.numpy as jnp
+import os, time, numpy as np, jax, jax.numpy as jnp
 from geoldm_tpu.config import TrainConfig
 from geoldm_tpu.data.datasets_config import get_dataset_info
 from geoldm_tpu.data.collate import collate_molecules
@@ -68,9 +72,15 @@ def make_batch(bs):
 
 cfg = factory.make_diffusion_model_config(INFO, nf=64, n_layers=4, diffusion_steps=100,
     noise_precision=1e-5, loss_type="l2")
-tc = TrainConfig(lr=5e-4, ema_decay=0.999, clip_grad=True)
+train_dtype = os.environ.get("GEOLDM_DEMO_TRAIN_DTYPE", "float32")
+tc = TrainConfig(lr=5e-4, ema_decay=0.999, clip_grad=True, compute_dtype=train_dtype)
 state, tx = create_train_state(jax.random.key(0), cfg, tc)
-step = jax.jit(make_train_step(cfg, tc, tx))
+from geoldm_tpu.nn.core import resolve_compute
+from geoldm_tpu.utils.tpuflags import train_step_compiler_options
+spec = resolve_compute(None if train_dtype == "float32" else train_dtype)
+step = jax.jit(make_train_step(cfg, tc, tx, spec),
+               compiler_options=train_step_compiler_options(train_dtype))
+print(f"training dtype: {train_dtype}")
 
 # log p(N): uniform over our sizes; use zeros (constant offset, irrelevant to training)
 def prep(b):
@@ -79,7 +89,7 @@ def prep(b):
     return d
 
 t0=time.time()
-STEPS=10000
+STEPS=int(os.environ.get("GEOLDM_DEMO_STEPS", "10000"))
 for i in range(STEPS):
     b = prep(make_batch(128))
     state, m = step(state, b, jax.random.key(10000+i))
