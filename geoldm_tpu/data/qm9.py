@@ -340,7 +340,10 @@ class QM9Loader:
         stop = (
             len(self) * self.batch_size if self.drop_last else self.num_molecules
         )
-        from geoldm_tpu.data.collate import build_masks, prepare_split_arrays
+        from geoldm_tpu.data.collate import (
+            edge_mask_from_node_mask,
+            prepare_split_arrays,
+        )
 
         d = self.data
         for start in range(0, stop, self.batch_size):
@@ -350,7 +353,7 @@ class QM9Loader:
                 n_atoms, d["positions"][idx], d["one_hot"][idx],
                 d["charges"][idx], self.pad_nodes, self.include_charges,
             )
-            _, batch["edge_mask"] = build_masks(n_atoms, self.pad_nodes)
+            batch["edge_mask"] = edge_mask_from_node_mask(batch["node_mask"])
             batch["n_atoms"] = n_atoms
             for prop in self.properties:
                 batch[prop] = d[prop][idx].astype(np.float32)

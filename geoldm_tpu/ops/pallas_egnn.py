@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from geoldm_tpu.config import EGNNConfig
 from geoldm_tpu.ops.distance import _FREQUENCIES
-from geoldm_tpu.utils.tpuflags import DEFAULT_SCOPED_VMEM_KIB
+from geoldm_tpu.utils.tpuflags import RAISED_SCOPED_VMEM_KIB
 
 Array = jax.Array
 
@@ -370,7 +370,7 @@ def _auto_group_bwd(b: int, n: int, hidden: int) -> int:
     tpuflags.grad_compiler_options() (a train step compiled without it
     fails with a scoped-VMEM OOM naming this kernel)."""
     padded_n = -(-n // 8) * 8
-    max_rows = max(256, int(DEFAULT_SCOPED_VMEM_KIB * 0.95) * 1024 // (17 * 1024))
+    max_rows = max(256, int(RAISED_SCOPED_VMEM_KIB * 0.95) * 1024 // (17 * 1024))
     if hidden > 256:
         max_rows = max_rows * 256 // hidden
     if n % 8 != 0:

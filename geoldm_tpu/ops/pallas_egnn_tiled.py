@@ -84,7 +84,7 @@ def _edge_pre_rows(cfg, compute_dtype, hi, h, eattr2, w1, b1, tile, n):
 
 
 def _gcl_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
-                   gw: dict, full, rows):
+                   gw: dict, full, rows, mean_div: int = 0):
     """One GCL for rows [r0, r0+tile) against all N columns.
 
     ``full`` = (h [N,H], x [N,3], x0 [N,3], node_mask [N,1]); ``rows`` =
@@ -109,7 +109,9 @@ def _gcl_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
     if cfg.aggregation_method == "sum":
         agg = agg / cfg.normalization_factor
     else:
-        agg = agg / n
+        # 'mean' divides by the CALLER's padded width, not the internal
+        # tile-multiple pad (the dense path divides by its input N).
+        agg = agg / (mean_div or n)
     node_in = jnp.concatenate([hi, agg], axis=-1)
     upd = _matmul(
         _silu(_matmul(node_in, gw["wn1"], compute_dtype) + gw["bn1"]),
@@ -119,7 +121,7 @@ def _gcl_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
 
 
 def _coord_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
-                     cw: dict, full, rows):
+                     cw: dict, full, rows, mean_div: int = 0):
     """Equivariant coordinate update for rows [r0, r0+tile): [T, 3]."""
     h, x, x0, node_mask = full
     hi, xi, x0i, mi = rows
@@ -139,7 +141,7 @@ def _coord_rows_math(cfg: EGNNConfig, n: int, tile: int, r0, compute_dtype,
     if cfg.aggregation_method == "sum":
         aggx = aggx / cfg.normalization_factor
     else:
-        aggx = aggx / n
+        aggx = aggx / (mean_div or n)
     return (xi + aggx) * mi
 
 
@@ -148,7 +150,7 @@ _COORD_KEYS = ("w1", "b1", "w2", "b2", "w3")
 
 
 def _make_gcl_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
-                          keys):
+                          keys, mean_div: int = 0):
     def kernel(*refs):
         full = tuple(r[0] for r in refs[:4])
         rows = tuple(r[0] for r in refs[4:8])
@@ -156,12 +158,13 @@ def _make_gcl_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
         out_ref = refs[-1]
         r0 = pl.program_id(1) * tile
         out_ref[0] = _gcl_rows_math(cfg, n, tile, r0, compute_dtype, ws,
-                                    full, rows)
+                                    full, rows, mean_div)
 
     return kernel
 
 
-def _make_coord_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype):
+def _make_coord_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
+                            mean_div: int = 0):
     def kernel(*refs):
         full = tuple(r[0] for r in refs[:4])
         rows = tuple(r[0] for r in refs[4:8])
@@ -169,7 +172,7 @@ def _make_coord_rows_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype):
         out_ref = refs[-1]
         r0 = pl.program_id(1) * tile
         out_ref[0] = _coord_rows_math(cfg, n, tile, r0, compute_dtype, ws,
-                                      full, rows)
+                                      full, rows, mean_div)
 
     return kernel
 
@@ -196,7 +199,7 @@ def _accum_flat(ref, val, i):
 
 
 def _make_rows_bwd_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
-                          keys, math_fn):
+                          keys, math_fn, mean_div: int = 0):
     """Backward kernel for one row-tiled stage (GCL or coord update).
 
     Recomputes the stage's forward for its row slab and differentiates it
@@ -224,7 +227,8 @@ def _make_rows_bwd_kernel(cfg: EGNNConfig, n: int, tile: int, compute_dtype,
         def f(ws_, h_, x_, x0_, hi_, xi_, x0i_):
             wd = dict(zip(keys, ws_))
             return math_fn(cfg, n, tile, r0, compute_dtype, wd,
-                           (h_, x_, x0_, mask), (hi_, xi_, x0i_, mi))
+                           (h_, x_, x0_, mask), (hi_, xi_, x0i_, mi),
+                           mean_div)
 
         _, vjp_fn = jax.vjp(f, tuple(ws), h, x, x0, hi, xi, x0i)
         dws, dh, dx, dx0, dhi, dxi, dx0i = vjp_fn(g_ref[0])
@@ -261,13 +265,14 @@ def _row_specs(n: int, tile: int):
 
 
 def _call_rows_bwd(cfg, n, tile, compute_dtype, keys, math_fn, cot_feat,
-                   interpret, args, g_rows, weights):
+                   interpret, args, g_rows, weights, mean_div: int = 0):
     """Run a stage's backward kernel; returns (d_weights, dh, dx, dx0)."""
     h, x, x0, node_mask = args
     b, _, hidden = h.shape
     full_spec, tile_spec, weight_spec = _row_specs(n, tile)
     feats = (hidden, 3, 3, 1)
-    kernel = _make_rows_bwd_kernel(cfg, n, tile, compute_dtype, keys, math_fn)
+    kernel = _make_rows_bwd_kernel(cfg, n, tile, compute_dtype, keys, math_fn,
+                                   mean_div)
     outs = pl.pallas_call(
         kernel,
         grid=(b, n // tile),
@@ -305,9 +310,9 @@ def _auto_tile_bwd(n: int, hidden: int) -> int:
     forward), so the slab budget is a quarter of the forward's. Budgets
     for the raised 64MB scoped limit — the enclosing jit MUST pass
     tpuflags.grad_compiler_options() (see tpuflags module docs)."""
-    from geoldm_tpu.utils.tpuflags import DEFAULT_SCOPED_VMEM_KIB
+    from geoldm_tpu.utils.tpuflags import RAISED_SCOPED_VMEM_KIB
 
-    max_rows = DEFAULT_SCOPED_VMEM_KIB * 1024 // (hidden * 4 * 16)
+    max_rows = RAISED_SCOPED_VMEM_KIB * 1024 // (hidden * 4 * 16)
     for t in range(min(256, n), 0, -8):
         if n % t == 0 and t * n <= max_rows:
             return t
@@ -323,10 +328,10 @@ def _auto_tile(n: int, hidden: int) -> int:
     (a raised limit slows XLA's own fusions — see tpuflags module docs).
     Cost model: total pair-grid compute is pad_n^2 whatever the tile;
     small tiles add per-grid-step overhead."""
-    from geoldm_tpu.utils.tpuflags import DEFAULT_SCOPED_VMEM_BUDGET_KIB
+    from geoldm_tpu.utils.tpuflags import LIBTPU_DEFAULT_SCOPED_VMEM_KIB
 
     padded8 = -(-n // 8) * 8
-    max_rows = DEFAULT_SCOPED_VMEM_BUDGET_KIB * 1024 // (hidden * 4 * 4)
+    max_rows = LIBTPU_DEFAULT_SCOPED_VMEM_KIB * 1024 // (hidden * 4 * 4)
     best_cost, best_t = None, 8
     for t in range(8, min(256, padded8) + 1, 8):
         pad_n = -(-padded8 // t) * t
@@ -366,7 +371,7 @@ def _call_rows(kernel, b: int, n: int, tile: int, out_feat: int,
 
 
 def _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
-                          compute_dtype, interpret, tile=None):
+                          compute_dtype, interpret, tile=None, mean_div=0):
     """One EquivariantBlock via row-tiled kernels (inv_sublayers + 1 calls)."""
     b, n, hidden = h.shape
     t = tile or _auto_tile(n, hidden)
@@ -376,19 +381,20 @@ def _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
     for gcl in block_params["gcls"]:
         gw, keys = _gcl_weight_dict(cfg, gcl)
         weights = [gw[k] for k in keys]
-        kernel = _make_gcl_rows_kernel(cfg, n, t, compute_dtype, keys)
+        kernel = _make_gcl_rows_kernel(cfg, n, t, compute_dtype, keys,
+                                       mean_div)
         h = _call_rows(kernel, b, n, t, hidden, h.dtype,
                        interpret, (h, x, x0, node_mask), weights)
 
     cw = _coord_weight_dict(block_params)
     weights = [cw[k] for k in _COORD_KEYS]
-    kernel = _make_coord_rows_kernel(cfg, n, t, compute_dtype)
+    kernel = _make_coord_rows_kernel(cfg, n, t, compute_dtype, mean_div)
     x = _call_rows(kernel, b, n, t, 3, x.dtype,
                    interpret, (h, x, x0, node_mask), weights)
     return h, x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8, 9, 10))
 def tiled_block_apply(
     cfg: EGNNConfig,
     block_params: dict,
@@ -400,19 +406,20 @@ def tiled_block_apply(
     interpret: bool = False,
     tile: Optional[int] = None,
     bwd_mode: Optional[str] = None,
+    mean_div: int = 0,
 ):
     """One EquivariantBlock, row-tiled. The default backward is the fused
     tiled in-kernel vjp (_tiled_block_bwd_impl); ``bwd_mode``/
     GEOLDM_TILED_BWD=xla selects the rematerialized-XLA fallback instead
     (see module docstring)."""
     return _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
-                                 compute_dtype, interpret, tile)
+                                 compute_dtype, interpret, tile, mean_div)
 
 
 def _tfwd(cfg, block_params, h, x, x0, node_mask, compute_dtype, interpret,
-          tile, bwd_mode):
+          tile, bwd_mode, mean_div):
     out = _tiled_block_fwd_impl(cfg, block_params, h, x, x0, node_mask,
-                                compute_dtype, interpret, tile)
+                                compute_dtype, interpret, tile, mean_div)
     return out, (block_params, h, x, x0, node_mask)
 
 
@@ -456,7 +463,7 @@ def _unflatten_gcl_grads(cfg, dws, keys):
 
 
 def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
-                          compute_dtype, interpret, tile=None):
+                          compute_dtype, interpret, tile=None, mean_div=0):
     """Fused backward: recompute the GCL chain with the tiled forward
     kernels (coordinates are only updated at the end of a block, so every
     GCL sees the same x), then run each stage's in-kernel vjp in reverse.
@@ -476,7 +483,8 @@ def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
     for gcl in gcls:
         gw, keys = _gcl_weight_dict(cfg, gcl)
         weights = [gw[k] for k in keys]
-        kernel = _make_gcl_rows_kernel(cfg, n, t_f, compute_dtype, keys)
+        kernel = _make_gcl_rows_kernel(cfg, n, t_f, compute_dtype, keys,
+                                       mean_div)
         hs.append(_call_rows(kernel, b, n, t_f, hidden, h.dtype, interpret,
                              (hs[-1], x, x0, node_mask), weights))
 
@@ -484,7 +492,7 @@ def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
     cweights = [cw[k] for k in _COORD_KEYS]
     dcws, dh_c, dx, dx0 = _call_rows_bwd(
         cfg, n, t_b, compute_dtype, _COORD_KEYS, _coord_rows_math, 3,
-        interpret, (hs[-1], x, x0, node_mask), g_x, cweights,
+        interpret, (hs[-1], x, x0, node_mask), g_x, cweights, mean_div,
     )
     d_coord = ({"w": dcws[0], "b": dcws[1]}, {"w": dcws[2], "b": dcws[3]},
                {"w": dcws[4]})
@@ -496,7 +504,7 @@ def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
         weights = [gw[kk] for kk in keys]
         dws, g, dx_k, dx0_k = _call_rows_bwd(
             cfg, n, t_b, compute_dtype, keys, _gcl_rows_math, hidden,
-            interpret, (hs[k], x, x0, node_mask), g, weights,
+            interpret, (hs[k], x, x0, node_mask), g, weights, mean_div,
         )
         dx = dx + dx_k
         dx0 = dx0 + dx0_k
@@ -506,7 +514,7 @@ def _tiled_block_bwd_impl(cfg, block_params, h, x, x0, node_mask, g_h, g_x,
     return d_params, g, dx, dx0
 
 
-def _tbwd(cfg, compute_dtype, interpret, tile, bwd_mode, residuals,
+def _tbwd(cfg, compute_dtype, interpret, tile, bwd_mode, mean_div, residuals,
           cotangents):
     block_params, h, x, x0, node_mask = residuals
     if bwd_mode is None:
@@ -515,6 +523,7 @@ def _tbwd(cfg, compute_dtype, interpret, tile, bwd_mode, residuals,
         d_params, dh, dx, dx0 = _tiled_block_bwd_impl(
             cfg, block_params, h, x, x0, node_mask,
             cotangents[0], cotangents[1], compute_dtype, interpret, tile,
+            mean_div,
         )
         return (d_params, dh, dx, dx0, jnp.zeros_like(node_mask))
     # 'xla': rematerialize + differentiate the XLA block. Drops the (exact)
@@ -569,7 +578,7 @@ def egnn_apply_pallas_tiled(
             h, x = carry
             h, x = tiled_block_apply(
                 cfg, block_p, h, x, x0, node_mask, compute_dtype, interpret,
-                t, bwd_mode,
+                t, bwd_mode, n,
             )
             return (h, x), None
 

@@ -27,7 +27,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geoldm_tpu.config import EGNNConfig
 from geoldm_tpu.ops.pallas_egnn_tiled import (
-    _COORD_KEYS,
     _coord_rows_math,
     _coord_weight_dict,
     _gcl_rows_math,
@@ -54,16 +53,17 @@ def make_sp_mesh(dp: int = 1, sp: int = 0, devices=None) -> Mesh:
 
 
 def _block_rows(cfg, block_params, h_rows, x_rows, x0_rows, mask_rows,
-                compute_dtype, n, tile, axis):
-    """One EquivariantBlock on this device's row slab (inside shard_map)."""
+                x0_full, mask_full, compute_dtype, n, tile, axis, mean_div):
+    """One EquivariantBlock on this device's row slab (inside shard_map).
+
+    ``x0_full``/``mask_full`` are block-invariant and gathered ONCE by the
+    caller (XLA does not CSE collectives across scan iterations)."""
     r0 = jax.lax.axis_index(axis) * tile
 
     def gather(a):
         return jax.lax.all_gather(a, axis, axis=1, tiled=True)
 
     x_full = gather(x_rows)
-    x0_full = gather(x0_rows)
-    mask_full = gather(mask_rows)
 
     def over_batch(fn, h_full, h_r):
         # The slab math is unbatched ([N, ...] x [T, ...]); vmap over B.
@@ -76,7 +76,8 @@ def _block_rows(cfg, block_params, h_rows, x_rows, x0_rows, mask_rows,
 
         def gcl_fn(hf, xf, x0f, mf, hr, xr, x0r, mr, gw=gw):
             return _gcl_rows_math(cfg, n, tile, r0, compute_dtype, gw,
-                                  (hf, xf, x0f, mf), (hr, xr, x0r, mr))
+                                  (hf, xf, x0f, mf), (hr, xr, x0r, mr),
+                                  mean_div)
 
         h_rows = over_batch(gcl_fn, h_full, h_rows)
 
@@ -85,7 +86,8 @@ def _block_rows(cfg, block_params, h_rows, x_rows, x0_rows, mask_rows,
 
     def coord_fn(hf, xf, x0f, mf, hr, xr, x0r, mr):
         return _coord_rows_math(cfg, n, tile, r0, compute_dtype, cw,
-                                (hf, xf, x0f, mf), (hr, xr, x0r, mr))
+                                (hf, xf, x0f, mf), (hr, xr, x0r, mr),
+                                mean_div)
 
     x_rows = over_batch(coord_fn, h_full, h_rows)
     return h_rows, x_rows
@@ -132,11 +134,14 @@ def egnn_apply_sp(
         check_vma=False,
     )
     def run_blocks(blocks, h_rows, x_rows, x0_rows, mask_rows):
+        x0_full = jax.lax.all_gather(x0_rows, SEQ_AXIS, axis=1, tiled=True)
+        mask_full = jax.lax.all_gather(mask_rows, SEQ_AXIS, axis=1, tiled=True)
+
         def body(carry, block_p):
             h_r, x_r = carry
             h_r, x_r = _block_rows(
                 cfg, block_p, h_r, x_r, x0_rows, mask_rows,
-                compute_dtype, pad_n, tile, SEQ_AXIS,
+                x0_full, mask_full, compute_dtype, pad_n, tile, SEQ_AXIS, n,
             )
             return (h_r, x_r), None
 

@@ -18,17 +18,17 @@ programs (samplers, NLL eval) therefore compile with the default limit, and
 the forward kernels' group/tile heuristics budget for 16 MB; the backward
 heuristics (ops/pallas_egnn.py:_auto_group_bwd,
 ops/pallas_egnn_tiled.py:_auto_tile_bwd) budget for
-``DEFAULT_SCOPED_VMEM_KIB`` on the contract that their enclosing jit passed
+``RAISED_SCOPED_VMEM_KIB`` on the contract that their enclosing jit passed
 these options.
 """
 
 from __future__ import annotations
 
-DEFAULT_SCOPED_VMEM_KIB = 65536
-DEFAULT_SCOPED_VMEM_BUDGET_KIB = 16384  # libtpu default, forward-path budget
+RAISED_SCOPED_VMEM_KIB = 65536
+LIBTPU_DEFAULT_SCOPED_VMEM_KIB = 16384  # libtpu default, forward-path budget
 
 
-def grad_compiler_options(kib: int = DEFAULT_SCOPED_VMEM_KIB) -> dict:
+def grad_compiler_options(kib: int = RAISED_SCOPED_VMEM_KIB) -> dict:
     """``compiler_options`` for any jit whose backward runs a fused Pallas
     kernel: ``jax.jit(fn, compiler_options=grad_compiler_options())``."""
     return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}

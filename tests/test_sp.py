@@ -37,10 +37,17 @@ def make_inputs(key, b=2, n=16, in_nf=6, n_real=(11, 16)):
     return h, x, node_mask
 
 
-@pytest.mark.parametrize("sp,n", [(8, 16), (4, 16), (8, 20)])
-def test_sp_matches_single_device(sp, n):
-    # n=20 with sp=8 exercises the internal pad-to-24 path.
-    cfg = cfg_of()
+@pytest.mark.parametrize(
+    "sp,n,agg",
+    [(8, 16, "sum"), (4, 16, "sum"), (8, 20, "sum"), (8, 20, "mean")],
+)
+def test_sp_matches_single_device(sp, n, agg):
+    # n=20 with sp=8 exercises the internal pad-to-24 path; the 'mean' case
+    # guards the aggregation divisor (caller's N, not the internal pad).
+    cfg = cfg_of(
+        aggregation_method=agg,
+        normalization_factor=1.0 if agg == "mean" else 100.0,
+    )
     params = egnn_init(jax.random.key(0), cfg)
     h, x, node_mask = make_inputs(jax.random.key(1), n=n, n_real=(n - 5, n))
     edge_mask = build_edge_mask(node_mask)
