@@ -72,7 +72,10 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--augment_noise", type=float, default=0.0)
     p.add_argument("--n_stability_samples", type=int, default=500)
     p.add_argument("--normalize_factors", type=eval, default=[1, 4, 10])
-    p.add_argument("--include_charges", type=eval, default=True)
+    # Reference defaults diverge: True for QM9 (main_qm9.py:125), False for
+    # GEOM (main_geom_drugs.py:121) — a spurious always-zero charge channel
+    # would change in_node_nf and break reference-checkpoint compatibility.
+    p.add_argument("--include_charges", type=eval, default=qm9_defaults)
     p.add_argument("--visualize_every_batch", type=int, default=int(1e8))
     p.add_argument("--visualize", type=eval, default=False,
                    help="save a molecule grid + chain gif at every test epoch")
@@ -280,7 +283,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
             augment_noise=args.augment_noise,
             data_augmentation=args.data_augmentation,
             break_train_epoch=args.break_train_epoch,
-            logger=logger, log_every=args.n_report_steps, rng=rng,
+            logger=logger, log_every=args.n_report_steps, rng=rng, mesh=mesh,
         )
         if args.trace:
             jax.profiler.stop_trace()

@@ -102,10 +102,14 @@ def main(argv=None) -> None:
         # batch — ~0.4s/batch through a remote tunnel).
         t_nll = time.time()
         key, vk = jax.random.split(key)
+        nll_dtype = (
+            None if args.compute_dtype == "float32" else args.compute_dtype
+        )
         nll_val = trainer_mod.evaluate_nll_packed(
             params, model_cfg, splits["valid"], nodes_dist, vk,
             batch_size=args.batch_size_nll,
             pad_nodes=dataset_info.max_n_nodes, partition="valid",
+            compute_dtype=nll_dtype,
         )[0]
         key, tk = jax.random.split(key)
         tests = trainer_mod.evaluate_nll_packed(
@@ -113,6 +117,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size_nll,
             pad_nodes=dataset_info.max_n_nodes,
             n_passes=args.n_test_passes, partition="test",
+            compute_dtype=nll_dtype,
         )
         nll_test = float(np.mean(tests))
         print(f"final test NLL: {nll_test:.4f} (+/- {np.std(tests):.4f}); "

@@ -140,7 +140,10 @@ class _MolecularMetricsBase:
         return list(set(valid)), len(set(valid)) / len(valid)
 
     def compute_novelty(self, unique: List[str]):
-        novel = [s for s in unique if s not in self.dataset_smiles_list]
+        # Set membership: the QM9 training list is ~100k entries; a list
+        # scan per unique molecule is O(10^9) comparisons at the 10k eval.
+        known = set(self.dataset_smiles_list)
+        novel = [s for s in unique if s not in known]
         return novel, len(novel) / len(unique)
 
     def evaluate(self, generated: Sequence[tuple]):

@@ -86,7 +86,16 @@ def make_optimizer(
     parts.append(optax.scale(-lr))
     tx = optax.chain(*parts)
     if frozen_mask is not None:
-        tx = optax.masked(tx, frozen_mask)
+        # optax.masked passes masked-OUT leaves' updates through UNCHANGED
+        # (the raw gradient, not zero) — the frozen VAE would only stay
+        # frozen while its grads happen to be exactly zero. Explicitly zero
+        # the frozen leaves so freezing holds even if a future loss term
+        # sends gradient into them.
+        inverse = jax.tree.map(lambda t: not t, frozen_mask)
+        tx = optax.chain(
+            optax.masked(tx, frozen_mask),
+            optax.masked(optax.set_to_zero(), inverse),
+        )
     return tx
 
 

@@ -82,9 +82,17 @@ def train_epoch(
     logger=None,
     log_every: int = 50,
     rng: Optional[np.random.Generator] = None,
+    mesh=None,
 ):
-    """One pass over the loader. Returns (state, mean_loss)."""
+    """One pass over the loader. Returns (state, mean_loss).
+
+    With ``mesh`` each batch is committed to a batch-sharded layout over the
+    data axis BEFORE the step — without this, GSPMD propagation from the
+    replicated params leaves the batch replicated and every device
+    redundantly computes the full batch (dp would silently do nothing)."""
     rng = rng or np.random.default_rng(epoch)
+    if mesh is not None and mesh.size > 1:
+        from geoldm_tpu.parallel import sharding as shd
     losses = []
     t0 = time.time()
     for i, raw in enumerate(loader):
@@ -92,6 +100,17 @@ def train_epoch(
             raw, nodes_dist, conditioning, property_norms, augment_noise,
             data_augmentation, rng,
         )
+        if mesh is not None and mesh.size > 1:
+            dp = mesh.shape[shd.DATA_AXIS]
+            b = len(batch["x"])
+            if b % dp:
+                # Trim the uneven tail batch to a data-axis multiple (a
+                # replicated tail would force a second compile of the step
+                # with different input shardings).
+                batch = {k: v[: b - b % dp] for k, v in batch.items()}
+                if len(batch["x"]) == 0:
+                    continue
+            batch = shd.shard_batch(batch, mesh)
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, sub)
         losses.append(metrics)

@@ -56,7 +56,15 @@ class MetricLogger:
             self._file.write(json.dumps(record) + "\n")
             self._file.flush()
         if self._wandb_run is not None:
-            self._wandb_run.log(metrics, step=step)
+            # Never pass ``step`` to wandb: per-batch logs (no step) advance
+            # wandb's auto-incremented counter past the epoch numbers, after
+            # which wandb silently DROPS any log with a smaller explicit
+            # step — epoch loss/stability/NLL curves would never appear.
+            # The step travels as an ordinary field instead.
+            payload = dict(metrics)
+            if step is not None:
+                payload["epoch"] = int(step)
+            self._wandb_run.log(payload)
 
     def close(self) -> None:
         if self._file:

@@ -263,3 +263,65 @@ def test_evaluate_nll_packed_finite_for_ldm_with_padded_tail():
         batch_size=4, pad_nodes=12, n_passes=2, partition="t",
     )
     assert np.isfinite(vals).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_train_epoch_shards_batches_on_mesh():
+    """train_epoch(mesh=...) must commit batches to the data-sharded layout
+    (regression: the CLI path built a mesh but never sharded batches, so
+    every device redundantly computed the full batch) and produce the same
+    params as the unsharded run — including the uneven tail batch, which is
+    trimmed to a data-axis multiple."""
+    from geoldm_tpu.train import trainer as trainer_mod
+
+    cfg = tiny_cfg(nf=16)
+    tc = TrainConfig(lr=1e-3, ema_decay=0.0, clip_grad=False)
+    nodes_dist = DistributionNodes(INFO.n_nodes)
+    mesh = shd.make_mesh(dp=8, tp=1)
+
+    def raw_batches():
+        # Two full batches of 8 + one uneven tail of 3 (trimmed under dp=8).
+        out = []
+        for seed, b in ((0, 8), (1, 8), (2, 3)):
+            rng = np.random.default_rng(seed)
+            raw = synthetic_batch(INFO, b, pad_nodes=12, rng=rng)
+            out.append(raw)
+        return out
+
+    def run(mesh_arg, trim_tail):
+        state, tx = create_train_state(jax.random.key(0), cfg, tc)
+        step = jax.jit(make_train_step(cfg, tc, tx))
+        if mesh_arg is not None:
+            p_sh = shd.param_shardings(state.params, mesh_arg)
+            state = state._replace(
+                params=jax.device_put(state.params, p_sh),
+                ema_params=jax.device_put(state.ema_params, p_sh),
+            )
+        batches = raw_batches()
+        if trim_tail:
+            batches = batches[:2]  # tail is dropped entirely at b=3 < dp=8
+        state, _ = trainer_mod.train_epoch(
+            state, step, batches, nodes_dist, jax.random.key(1), 0,
+            mesh=mesh_arg,
+        )
+        return jax.tree.map(np.asarray, state.params)
+
+    p_mesh = run(mesh, trim_tail=False)
+    p_single = run(None, trim_tail=True)
+    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_frozen_mask_zeroes_updates_even_with_nonzero_grads():
+    """optax.masked alone passes masked-out grads through UNCHANGED; the
+    optimizer must explicitly zero frozen leaves so freezing holds even if
+    a future loss term sends gradient into them."""
+    params = {"vae": {"w": jnp.ones(3)}, "dynamics": {"w": jnp.ones(3)}}
+    mask = {"vae": {"w": False}, "dynamics": {"w": True}}
+    tx = optim_mod.make_optimizer(lr=0.1, frozen_mask=mask, clip_grad=False)
+    st = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, st, params)
+    np.testing.assert_array_equal(np.asarray(upd["vae"]["w"]), 0.0)
+    assert np.max(np.abs(np.asarray(upd["dynamics"]["w"]))) > 0
