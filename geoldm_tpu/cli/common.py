@@ -185,6 +185,14 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     compute_dtype = None if args.compute_dtype == "float32" else args.compute_dtype
 
     pad_nodes = dataset_info.max_n_nodes
+    # Loaders must agree with the (possibly checkpoint-overridden) model
+    # config on the charge channel, not with the CLI default — resuming a
+    # run trained under a different --include_charges would otherwise feed
+    # h_int of the wrong width.
+    model_include_charges = (
+        model_cfg.vae.include_charges if model_cfg.vae
+        else model_cfg.diffusion.include_charges
+    )
     if loaders is None:
         loaders = {
             split: QM9Loader(
@@ -192,12 +200,22 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                 batch_size=args.batch_size,
                 pad_nodes=pad_nodes,
                 shuffle=(split == "train"),
-                include_charges=args.include_charges,
+                include_charges=model_include_charges,
                 properties=tuple(args.conditioning),
                 seed=args.seed,
             )
             for split, data in splits.items()
         }
+    else:
+        for split, loader in loaders.items():
+            got = getattr(loader, "include_charges", model_include_charges)
+            if got != model_include_charges:
+                raise ValueError(
+                    f"{split} loader include_charges={got} but the model "
+                    f"config (checkpoint-resolved) expects "
+                    f"{model_include_charges}; rebuild the loaders with "
+                    f"--include_charges {model_include_charges}"
+                )
 
     nodes_dist = DistributionNodes(dataset_info.n_nodes)
     prop_dist = None
@@ -296,7 +314,8 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                 validity, rdkit_tuple, _ = trainer_mod.analyze_and_save(
                     model_cfg, eval_params, a_key, dataset_info, nodes_dist,
                     n_samples=args.n_stability_samples, prop_dist=prop_dist,
-                    pad_nodes=pad_nodes, compute_dtype=args.compute_dtype, rng=rng,
+                    pad_nodes=pad_nodes, compute_dtype=args.compute_dtype,
+                    rng=rng, mesh=mesh,
                 )
                 print(f"epoch {epoch} stability: {validity}")
                 logger.log(validity, step=epoch)
@@ -334,6 +353,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                 eval_params, eval_nll, loaders["valid"], nodes_dist, v_key,
                 conditioning=args.conditioning, property_norms=property_norms,
                 partition="valid", augment_noise=args.augment_noise, rng=rng,
+                mesh=mesh,
             )
             logger.log({"nll_val": nll_val}, step=epoch)
             if args.save_model:
@@ -348,6 +368,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                     eval_params, eval_nll, loaders["test"], nodes_dist, t_key,
                     conditioning=args.conditioning, property_norms=property_norms,
                     partition="test", augment_noise=args.augment_noise, rng=rng,
+                    mesh=mesh,
                 )
                 logger.log({"nll_test": nll_test, "best_nll_val": best_nll_val}, step=epoch)
     logger.close()

@@ -76,11 +76,15 @@ def main(argv=None) -> None:
 
         mesh = shd.make_mesh(dp=args.dp, tp=1)
 
+    # One mapping for generation AND the NLL phase (resolve_compute treats
+    # "float32" and None identically; None keeps call sites uniform).
+    compute_dtype = None if args.compute_dtype == "float32" else args.compute_dtype
+
     t0 = time.time()
     validity, rdkit_tuple, molecules = trainer_mod.analyze_and_save(
         model_cfg, params, key, dataset_info, nodes_dist,
         n_samples=args.n_samples, batch_size=args.batch_size_gen,
-        compute_dtype=args.compute_dtype if args.compute_dtype != "float32" else None,
+        compute_dtype=compute_dtype,
         rng=rng, mesh=mesh, datadir=args.datadir,
     )
     elapsed = time.time() - t0
@@ -102,14 +106,11 @@ def main(argv=None) -> None:
         # batch — ~0.4s/batch through a remote tunnel).
         t_nll = time.time()
         key, vk = jax.random.split(key)
-        nll_dtype = (
-            None if args.compute_dtype == "float32" else args.compute_dtype
-        )
         nll_val = trainer_mod.evaluate_nll_packed(
             params, model_cfg, splits["valid"], nodes_dist, vk,
             batch_size=args.batch_size_nll,
             pad_nodes=dataset_info.max_n_nodes, partition="valid",
-            compute_dtype=nll_dtype,
+            compute_dtype=compute_dtype,
         )[0]
         key, tk = jax.random.split(key)
         tests = trainer_mod.evaluate_nll_packed(
@@ -117,7 +118,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size_nll,
             pad_nodes=dataset_info.max_n_nodes,
             n_passes=args.n_test_passes, partition="test",
-            compute_dtype=nll_dtype,
+            compute_dtype=compute_dtype,
         )
         nll_test = float(np.mean(tests))
         print(f"final test NLL: {nll_test:.4f} (+/- {np.std(tests):.4f}); "

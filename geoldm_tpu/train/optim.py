@@ -86,16 +86,18 @@ def make_optimizer(
     parts.append(optax.scale(-lr))
     tx = optax.chain(*parts)
     if frozen_mask is not None:
-        # optax.masked passes masked-OUT leaves' updates through UNCHANGED
-        # (the raw gradient, not zero) — the frozen VAE would only stay
-        # frozen while its grads happen to be exactly zero. Explicitly zero
-        # the frozen leaves so freezing holds even if a future loss term
-        # sends gradient into them.
-        inverse = jax.tree.map(lambda t: not t, frozen_mask)
-        tx = optax.chain(
-            optax.masked(tx, frozen_mask),
-            optax.masked(optax.set_to_zero(), inverse),
-        )
+        tx = optax.masked(tx, frozen_mask)
+        if not all(jax.tree.leaves(frozen_mask)):
+            # optax.masked passes masked-OUT leaves' updates through
+            # UNCHANGED (the raw gradient, not zero) — the frozen VAE would
+            # only stay frozen while its grads happen to be exactly zero.
+            # Explicitly zero the frozen leaves so freezing holds even if a
+            # future loss term sends gradient into them. Only added when
+            # something IS frozen: the wrapper changes the opt_state pytree
+            # structure, and an all-True mask would churn every
+            # non-frozen-model checkpoint for a no-op transform.
+            inverse = jax.tree.map(lambda t: not t, frozen_mask)
+            tx = optax.chain(tx, optax.masked(optax.set_to_zero(), inverse))
     return tx
 
 

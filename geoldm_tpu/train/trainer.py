@@ -104,9 +104,10 @@ def train_epoch(
             dp = mesh.shape[shd.DATA_AXIS]
             b = len(batch["x"])
             if b % dp:
-                # Trim the uneven tail batch to a data-axis multiple (a
-                # replicated tail would force a second compile of the step
-                # with different input shardings).
+                # Trim the uneven tail batch to a data-axis multiple —
+                # device_put rejects uneven sharding of the batch axis.
+                # (The tail shape differs from the steady-state shape either
+                # way, so a tail recompile happens regardless.)
                 batch = {k: v[: b - b % dp] for k, v in batch.items()}
                 if len(batch["x"]) == 0:
                     continue
@@ -124,6 +125,12 @@ def train_epoch(
                 logger.log({"batch_loss": m["loss"], "grad_norm": m["grad_norm"]})
         if break_train_epoch:
             break
+    if not losses:
+        raise RuntimeError(
+            "train_epoch processed zero batches — every batch was smaller "
+            "than the data-axis size (batch_size < dp?); raise --batch_size "
+            "or lower --dp"
+        )
     mean_loss = float(np.mean([float(m["loss"]) for m in losses]))
     print(f"Epoch {epoch} took {time.time() - t0:.1f}s, mean loss {mean_loss:.3f}")
     return state, mean_loss
@@ -141,6 +148,7 @@ def evaluate_nll(
     partition: str = "valid",
     augment_noise: float = 0.0,
     rng=None,
+    mesh=None,
 ) -> float:
     """Mean NLL over a split (t0_always estimator). reference:
     train_test.py:103-149 — note the reference applies augment_noise during
@@ -150,9 +158,19 @@ def evaluate_nll(
     # overlaps device compute with the next batch's host-side prep.
     total, count = jnp.zeros((), jnp.float32), 0
     rng = rng or np.random.default_rng(0)
+    if mesh is not None and mesh.size > 1:
+        from geoldm_tpu.parallel import sharding as shd
     for raw in loader:
         batch = prepare_batch(raw, nodes_dist, conditioning, property_norms,
                               augment_noise=augment_noise, rng=rng)
+        if mesh is not None and mesh.size > 1:
+            dp = mesh.shape[shd.DATA_AXIS]
+            bsz = len(batch["x"])
+            if bsz % dp:
+                batch = {k: v[: bsz - bsz % dp] for k, v in batch.items()}
+                if len(batch["x"]) == 0:
+                    continue
+            batch = shd.shard_batch(batch, mesh)
         key, sub = jax.random.split(key)
         b = batch["x"].shape[0]
         total = total + eval_nll_fn(params, batch, sub) * b
