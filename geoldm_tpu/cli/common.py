@@ -37,6 +37,10 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--break_train_epoch", type=eval, default=False)
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel devices")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel devices: shard the EGNN's O(N^2) "
+                        "pair grid over atom rows (composes with --dp; "
+                        "pays off at GEOM-scale molecules)")
     p.add_argument("--condition_time", type=eval, default=True)
     p.add_argument("--clip_grad", type=eval, default=True)
     p.add_argument("--trace", type=str, default=None,
@@ -178,6 +182,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
         compute_dtype=args.compute_dtype,
         dp=args.dp,
         tp=args.tp,
+        sp=getattr(args, "sp", 1),
     )
     # Passed as the resolve_compute string: selects operand dtype AND the
     # XLA-vs-fused-Pallas backend ("pallas" was previously dropped here,
@@ -255,7 +260,25 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
         state = ckpt.load_checkpoint(args.resume, template=state, name="latest")
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    mesh = shd.make_mesh(dp=args.dp, tp=args.tp) if (args.dp != 1 or args.tp > 1) else None
+    sp = getattr(args, "sp", 1)
+    if sp > 1:
+        # Sequence parallelism: (data, seq) mesh; the EGNN atom-row sharding
+        # rides the ``seq`` axis inside the compute spec, batches shard over
+        # ``data`` as usual. TP and the fused Pallas kernels are per-chip
+        # strategies — not composable with SP.
+        if args.tp > 1:
+            raise ValueError("--sp and --tp cannot be combined")
+        if "pallas" in args.compute_dtype:
+            raise ValueError("--sp requires an XLA compute path (not pallas)")
+        from geoldm_tpu.nn.core import resolve_compute, sp_spec
+        from geoldm_tpu.parallel.sp import make_sp_mesh
+
+        n_dev = len(jax.devices())
+        dp = args.dp if args.dp > 0 else max(1, n_dev // sp)
+        mesh = make_sp_mesh(dp=dp, sp=sp)
+        compute_dtype = sp_spec(mesh, resolve_compute(compute_dtype).dtype)
+    else:
+        mesh = shd.make_mesh(dp=args.dp, tp=args.tp) if (args.dp != 1 or args.tp > 1) else None
     if mesh is not None and mesh.size > 1:
         hidden = args.nf if args.tp > 1 else None
         p_sh = shd.param_shardings(state.params, mesh, hidden_nf=hidden)

@@ -178,6 +178,9 @@ class TrainConfig:
     # Mesh axes: data-parallel size 0 = use all devices.
     dp: int = 0
     tp: int = 1
+    # Sequence-parallel devices (atom-row sharding of the EGNN pair grid
+    # over a ``seq`` mesh axis; composes with dp). 1 = off.
+    sp: int = 1
 
 
 @dataclass(frozen=True)

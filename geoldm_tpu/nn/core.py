@@ -45,6 +45,19 @@ class ComputeSpec(NamedTuple):
     # low-noise tail is where geometry crystallizes and precision matters
     # most); 0 = all steps in the compute dtype.
     mixed_tail: float = 0.0
+    # Sequence parallelism: a jax.sharding.Mesh with a ``seq`` axis. When
+    # set, every EGNN application runs through parallel.sp.egnn_apply_sp
+    # with the atom (row) dimension sharded over ``seq`` (other mesh axes —
+    # ``data`` — stay in GSPMD auto mode, so DPxSP composes). Forward AND
+    # backward are sharded; grads match the single-device path
+    # (tests/test_sp.py). Constructed via sp_spec(), not a string name.
+    sp_mesh: Optional[object] = None
+
+
+def sp_spec(mesh, dtype=None) -> ComputeSpec:
+    """ComputeSpec for sequence-parallel EGNN execution over ``mesh``'s
+    ``seq`` axis (optionally with a matmul-operand compute dtype)."""
+    return ComputeSpec(dtype=dtype, backend="sp", sp_mesh=mesh)
 
 
 def resolve_compute(compute_dtype) -> ComputeSpec:

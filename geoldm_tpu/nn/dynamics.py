@@ -52,6 +52,15 @@ def _run_egnn(egnn_params, egnn_cfg, h, x, node_mask, edge_mask, compute_dtype):
         from geoldm_tpu.ops.pallas_egnn import egnn_apply_pallas
 
         return egnn_apply_pallas(egnn_params, egnn_cfg, h, x, node_mask, spec.dtype)
+    if spec.backend == "sp":
+        # Sequence parallelism: atom rows sharded over the mesh's ``seq``
+        # axis (edge mask is derived from the node mask, same contract as
+        # the pallas path). Differentiable — used by SP training.
+        from geoldm_tpu.parallel.sp import egnn_apply_sp
+
+        return egnn_apply_sp(
+            egnn_params, egnn_cfg, h, x, node_mask, spec.sp_mesh, spec.dtype
+        )
     return egnn_apply(egnn_params, egnn_cfg, h, x, node_mask, edge_mask, spec)
 
 

@@ -57,7 +57,7 @@ def param_shardings(params, mesh: Mesh, hidden_nf: Optional[int] = None):
     with a final dim equal to hidden_nf are column-sharded over ``model``
     (biases too); everything else is replicated. GSPMD derives the rest.
     """
-    tp = mesh.shape[MODEL_AXIS]
+    tp = mesh.shape.get(MODEL_AXIS, 1)  # (data, seq) SP meshes have no model axis
 
     def rule(leaf):
         if tp > 1 and hidden_nf and leaf.ndim >= 1 and leaf.shape[-1] == hidden_nf:

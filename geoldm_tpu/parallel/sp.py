@@ -16,7 +16,15 @@ here executed as plain XLA inside ``shard_map``, with the slab offset
 taken from ``jax.lax.axis_index``.
 
 Semantics match nn.egnn.egnn_apply exactly (tested against the
-single-device path on the virtual CPU mesh).
+single-device path on the virtual CPU mesh), INCLUDING gradients: the
+``shard_map`` body is differentiable end-to-end (the tiled ``all_gather``
+transposes to ``psum_scatter``), so the same sharded forward backs SP
+training (tests/test_sp.py grad + train-step parity).
+
+The ``shard_map`` is *partial-manual*: only the ``seq`` axis is manual
+(``axis_names={SEQ_AXIS}``); any other mesh axes (``data``) stay in GSPMD
+auto mode, so SP composes with the batch-sharded data-parallel train step
+on a (data, seq) mesh without replicating the batch.
 """
 
 from __future__ import annotations
@@ -131,7 +139,8 @@ def egnn_apply_sp(
         shard_map, mesh=mesh,
         in_specs=(P(), spec, spec, spec, spec),
         out_specs=(spec, spec),
-        check_vma=False,
+        axis_names=frozenset({SEQ_AXIS}),
+        check_vma=True,
     )
     def run_blocks(blocks, h_rows, x_rows, x0_rows, mask_rows):
         x0_full = jax.lax.all_gather(x0_rows, SEQ_AXIS, axis=1, tiled=True)

@@ -206,6 +206,43 @@ def test_main_geom_drugs_train_smoke(tmp_path):
     assert (outdir / "geom_smoke" / "metrics.jsonl").exists()
 
 
+def test_main_geom_drugs_sp_training(tmp_path):
+    """--sp 2: sequence-parallel training through the GEOM CLI on the
+    virtual mesh (dp=4 x sp=2) — the trained epoch + NLL eval must complete
+    with finite metrics. This is the CLI wiring for SP training (the
+    numerical parity of the SP step itself is tests/test_sp.py)."""
+    from geoldm_tpu.cli import main_geom_drugs
+
+    _fake_geom_npy(tmp_path, n_mols=80)
+    outdir = tmp_path / "out"
+    main_geom_drugs.main([
+        "--exp_name", "geom_sp",
+        "--datadir", str(tmp_path),
+        "--conformations", "30",
+        "--outdir", str(outdir),
+        "--train_diffusion", "--trainable_ae",
+        "--sp", "2",
+        "--n_epochs", "1",
+        "--test_epochs", "1",
+        "--batch_size", "8",
+        "--nf", "16",
+        "--n_layers", "1",
+        "--latent_nf", "2",
+        "--diffusion_steps", "6",
+        "--n_stability_samples", "8",
+        "--no_wandb",
+        "--break_train_epoch", "True",
+        "--save_model", "False",
+    ])
+    metrics_file = outdir / "geom_sp" / "metrics.jsonl"
+    assert metrics_file.exists()
+    rows = [json.loads(l) for l in metrics_file.read_text().splitlines()]
+    losses = [r["train_loss_epoch"] for r in rows if "train_loss_epoch" in r]
+    nlls = [r["nll_val"] for r in rows if "nll_val" in r]
+    assert losses and np.isfinite(losses[-1])
+    assert nlls and np.isfinite(nlls[-1])
+
+
 def test_main_qm9_second_half_with_visualize(tmp_path):
     """qm9_second_half protocol (norms from the valid split) + the
     visualize-at-test-epoch branch (chain gif + molecule grid)."""
