@@ -15,8 +15,20 @@ small molecules don't pay the max-size O(N^2) edge cost. Weights are random
    "train_steps_per_sec": ..., "device_ms_per_step": ...,
    "train_mfu": ...}  # flagship LDM train step, bs 64, pad 32
 
+The default run benches BOTH recipes and prints ONE JSON line: the QM9
+headline metric at top level plus a nested ``geom`` object with the
+GEOM-Drugs recipe numbers (reference README.md:30) — so the driver sees
+GEOM perf every round. Sampling timings are the min of GEOLDM_BENCH_REPS
+repeats (median also reported) to bound tunnel variance; the persistent
+XLA compile cache is enabled so warm rounds skip the multi-minute
+compile phase.
+
 Env knobs:
-  GEOLDM_BENCH_TOTAL  molecules to time (default 1000)
+  GEOLDM_BENCH_TOTAL  QM9 molecules to time (default 1000)
+  GEOLDM_BENCH_GEOM_TOTAL  GEOM molecules to time (default 250: GEOM is
+                      ~4x slower per molecule; the value is labeled in the
+                      output — compare like with like)
+  GEOLDM_BENCH_REPS   timed repetitions per sampling bench (default 2)
   GEOLDM_BENCH_BATCH  per-bucket chunk size (default 250)
   GEOLDM_BENCH_STEPS  diffusion steps (default 1000; value is normalized
                       back to the T=1000 protocol)
@@ -25,14 +37,14 @@ Env knobs:
                       bf16 EGNN for 90% of steps, f32 for the final 10% +
                       decode; schedule/CoM algebra always f32)
   GEOLDM_BENCH_FLAT   set to 1 to disable bucketing (pad everything to 32)
-  GEOLDM_BENCH_TRAIN  set to 0 to skip the training-step timing
+  GEOLDM_BENCH_TRAIN  set to 0 to skip the training-step timings
   GEOLDM_BENCH_TRAIN_DTYPE  compute mode for the train-step timing
                       (default pallas: fused fwd+bwd kernel, no remat —
                       1.4x the XLA grad path on v5e; "float32" benches the
                       XLA path with remat)
-  GEOLDM_BENCH_DATASET qm9 (default) | geom — geom benches the GEOM-Drugs
-                      recipe (nf 256, 4 layers, latent_nf 2, pad 184,
-                      remat on, bs 32) and renames the metric accordingly
+  GEOLDM_BENCH_DATASET both (default) | qm9 | geom — restrict to one
+                      recipe (single-recipe runs keep the flat key layout)
+  GEOLDM_BENCH_NO_CACHE  set to 1 to disable the persistent compile cache
 """
 
 from __future__ import annotations
@@ -136,7 +148,8 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
     return steps_per_sec, ms_per_step, train_mfu
 
 
-def main() -> None:
+def _bench_recipe(dataset: str, device_kind: str) -> dict:
+    """Bench one recipe (sampling + train step); returns a metrics dict."""
     import jax
 
     from geoldm_tpu.data.datasets_config import get_dataset_info
@@ -145,10 +158,9 @@ def main() -> None:
     from geoldm_tpu.train import sampling as sampling_mod
     from geoldm_tpu.utils import flops as flops_mod
 
-    dataset = os.environ.get("GEOLDM_BENCH_DATASET", "qm9")
-    total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
     batch = int(os.environ.get("GEOLDM_BENCH_BATCH", "250"))
     steps = int(os.environ.get("GEOLDM_BENCH_STEPS", "1000"))
+    reps = max(1, int(os.environ.get("GEOLDM_BENCH_REPS", "2")))
     dtype_name = os.environ.get("GEOLDM_BENCH_DTYPE", "bfloat16_mixed")
     flat = os.environ.get("GEOLDM_BENCH_FLAT", "0") == "1"
     bench_train = os.environ.get("GEOLDM_BENCH_TRAIN", "1") == "1"
@@ -156,20 +168,22 @@ def main() -> None:
     if dataset == "geom":
         # GEOM-Drugs recipe (reference README.md:30): nf 256, 4 layers,
         # latent_nf 2, bs 32; N_max=181 -> pad 184. Remat keeps the
-        # backward in HBM at N=184.
+        # backward in HBM at N=184. GEOM molecules are ~4x slower each;
+        # the default timed total is 250 (labeled in the output — sampling
+        # throughput amortizes chunk boundaries, so only compare GEOM
+        # numbers taken at equal totals).
         info = get_dataset_info("geom")
         model_kw = dict(nf=256, n_layers=4, latent_nf=2, diffusion_steps=steps)
-        cfg = factory.make_latent_diffusion_config(info, **model_kw)
+        total = int(os.environ.get("GEOLDM_BENCH_GEOM_TOTAL", "250"))
         buckets = (184,) if flat else (48, 88, 184)
         train_bs, train_pad = 32, 184
-        metric = "geom_sample_mol_per_sec"
     else:
         info = get_dataset_info("qm9")
         model_kw = dict(nf=256, n_layers=9, latent_nf=1, diffusion_steps=steps)
-        cfg = factory.make_latent_diffusion_config(info, **model_kw)
+        total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
         buckets = (32,) if flat else (16, 24, 32)
         train_bs, train_pad = 64, 32
-        metric = "qm9_sample_mol_per_sec"
+    cfg = factory.make_latent_diffusion_config(info, **model_kw)
     # Training benches the flagship recipe with the fused Pallas fwd+bwd
     # kernel by default (1.4x the XLA grad path on v5e, and its backward
     # never materializes edge tensors so remat is unnecessary). The XLA
@@ -182,7 +196,6 @@ def main() -> None:
         info, trainable_ae=True, remat="pallas" not in train_dtype, **model_kw
     )
 
-    device_kind = jax.devices()[0].device_kind
     params = factory.init_params(jax.random.key(0), cfg)
     nodes_dist = DistributionNodes(info.n_nodes)
     rng = np.random.default_rng(0)
@@ -194,17 +207,23 @@ def main() -> None:
         )
 
     # Warmup with the exact workload (compiles every (chunk, bucket) shape
-    # the timed run will use); the timed run then reuses the executables.
+    # the timed run will use); the timed runs then reuse the executables.
     nodesxsample = nodes_dist.sample(total, rng)
     t0 = time.perf_counter()
     generate(jax.random.key(1), nodesxsample)
     compile_time = time.perf_counter() - t0
-    print(f"# compile+warmup: {compile_time:.1f}s", file=sys.stderr)
+    print(f"# [{dataset}] compile+warmup: {compile_time:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    out = generate(jax.random.key(2), nodesxsample)
-    jax.block_until_ready(out[0])
-    elapsed = time.perf_counter() - t0
+    # Min-of-reps bounds the axon-tunnel host-sync variance (measured up
+    # to ~20% day-to-day); the median is reported alongside.
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        out = generate(jax.random.key(2 + r), nodesxsample)
+        jax.block_until_ready(out[0])
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    median = float(np.median(times))
 
     mol_per_sec = total / elapsed
     # Normalize to the canonical T=1000 protocol if steps were reduced.
@@ -218,30 +237,67 @@ def main() -> None:
     )
     sampling_mfu = flops_mod.mfu(sample_flops, elapsed, device_kind)
     print(
-        f"# sampled {total} molecules (T={steps}, dtype={dtype_name}, "
-        f"buckets={buckets}) in {elapsed:.1f}s on {device_kind}"
+        f"# [{dataset}] sampled {total} molecules (T={steps}, dtype={dtype_name}, "
+        f"buckets={buckets}) in {elapsed:.1f}s best-of-{reps} "
+        f"(median {median:.1f}s) on {device_kind}"
         + (f", mfu={sampling_mfu:.4f}" if sampling_mfu is not None else ""),
         file=sys.stderr,
     )
 
-    result = {
-        "metric": metric,
+    metrics = {
         "value": round(mol_per_sec_1000, 3),
         "unit": "mol/s",
-        "vs_baseline": round(mol_per_sec_1000 / TARGET_MOL_PER_SEC, 3),
         "mfu": None if sampling_mfu is None else round(sampling_mfu, 4),
-        "device": device_kind,
+        "sample_total": total,
+        "sample_reps": reps,
+        "sample_median_mol_per_sec": round(total / median * (steps / 1000.0), 3),
+        "compile_warmup_s": round(compile_time, 1),
     }
     if bench_train:
         steps_per_sec, ms_per_step, train_mfu = _bench_train(
             train_model_cfg, info, train_bs, train_pad, device_kind, train_dtype
         )
-        result.update(
+        metrics.update(
             train_steps_per_sec=round(steps_per_sec, 2),
             device_ms_per_step=round(ms_per_step, 2),
             train_mfu=None if train_mfu is None else round(train_mfu, 4),
             train_dtype=train_dtype,
         )
+    return metrics
+
+
+def main() -> None:
+    # Persistent XLA compile cache: warm driver rounds skip the
+    # multi-minute tunnel compiles (r02 burned 805s of compile for a 20s
+    # measurement). Opt out with GEOLDM_BENCH_NO_CACHE=1.
+    if os.environ.get("GEOLDM_BENCH_NO_CACHE") != "1":
+        from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+        setup_compilation_cache()
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
+    dataset = os.environ.get("GEOLDM_BENCH_DATASET", "both")
+
+    if dataset in ("qm9", "geom"):
+        m = _bench_recipe(dataset, device_kind)
+        result = {
+            "metric": f"{dataset}_sample_mol_per_sec",
+            **m,
+            "device": device_kind,
+        }
+        if dataset == "qm9":
+            result["vs_baseline"] = round(m["value"] / TARGET_MOL_PER_SEC, 3)
+    else:
+        qm9 = _bench_recipe("qm9", device_kind)
+        geom = _bench_recipe("geom", device_kind)
+        result = {
+            "metric": "qm9_sample_mol_per_sec",
+            **qm9,
+            "vs_baseline": round(qm9["value"] / TARGET_MOL_PER_SEC, 3),
+            "device": device_kind,
+            "geom": {"metric": "geom_sample_mol_per_sec", **geom},
+        }
     print(json.dumps(result))
 
 

@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--use_ema", type=eval, default=True)
     p.add_argument("--skip_nll", action="store_true")
     p.add_argument("--n_test_passes", type=int, default=5)
+    p.add_argument("--augment_noise", type=float, default=0.0,
+                   help="eval-time coordinate noise (reference applies the "
+                        "training augment_noise during NLL eval too, "
+                        "train_test.py:119-124; pass the training value "
+                        "for models trained with it)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard generation over this many devices")
     p.add_argument("--seed", type=int, default=0)
@@ -110,7 +115,7 @@ def main(argv=None) -> None:
             params, model_cfg, splits["valid"], nodes_dist, vk,
             batch_size=args.batch_size_nll,
             pad_nodes=dataset_info.max_n_nodes, partition="valid",
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, augment_noise=args.augment_noise,
         )[0]
         key, tk = jax.random.split(key)
         tests = trainer_mod.evaluate_nll_packed(
@@ -118,7 +123,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size_nll,
             pad_nodes=dataset_info.max_n_nodes,
             n_passes=args.n_test_passes, partition="test",
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, augment_noise=args.augment_noise,
         )
         nll_test = float(np.mean(tests))
         print(f"final test NLL: {nll_test:.4f} (+/- {np.std(tests):.4f}); "

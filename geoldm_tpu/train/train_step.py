@@ -103,7 +103,13 @@ def make_train_step(
 
 
 def make_eval_nll(model_cfg: ModelConfig, compute_dtype=None):
-    """Eval NLL (t0_always two-pass estimator) -> mean NLL over batch."""
+    """Eval NLL (t0_always two-pass estimator) -> mean NLL over batch.
+
+    An optional ``weight`` entry ([B], 0/1) turns the mean into a weighted
+    mean — used to pad uneven tail batches to a shardable size with
+    repeated zero-weight molecules instead of dropping molecules (repeats,
+    not zero-mask rows: an all-zero mask NaNs the latent per-graph
+    reductions and NaN * 0 = NaN)."""
     nll_fn = factory.model_nll_fn(model_cfg, training=False, compute_dtype=compute_dtype)
 
     def eval_nll(params, batch, key):
@@ -117,6 +123,10 @@ def make_eval_nll(model_cfg: ModelConfig, compute_dtype=None):
             batch["edge_mask"],
             batch.get("context"),
         )
-        return jnp.mean(nll - batch["log_pN"])
+        nll = nll - batch["log_pN"]
+        w = batch.get("weight")
+        if w is None:
+            return jnp.mean(nll)
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     return eval_nll

@@ -94,6 +94,7 @@ def train_epoch(
     if mesh is not None and mesh.size > 1:
         from geoldm_tpu.parallel import sharding as shd
     losses = []
+    dropped = 0
     t0 = time.time()
     for i, raw in enumerate(loader):
         batch = prepare_batch(
@@ -107,7 +108,10 @@ def train_epoch(
                 # Trim the uneven tail batch to a data-axis multiple —
                 # device_put rejects uneven sharding of the batch axis.
                 # (The tail shape differs from the steady-state shape either
-                # way, so a tail recompile happens regardless.)
+                # way, so a tail recompile happens regardless.) The dropped
+                # molecules are reshuffled into full batches next epoch;
+                # the count is reported below so the omission is visible.
+                dropped += b % dp
                 batch = {k: v[: b - b % dp] for k, v in batch.items()}
                 if len(batch["x"]) == 0:
                     continue
@@ -132,7 +136,9 @@ def train_epoch(
             "or lower --dp"
         )
     mean_loss = float(np.mean([float(m["loss"]) for m in losses]))
-    print(f"Epoch {epoch} took {time.time() - t0:.1f}s, mean loss {mean_loss:.3f}")
+    print(f"Epoch {epoch} took {time.time() - t0:.1f}s, mean loss {mean_loss:.3f}"
+          + (f" ({dropped} tail molecules dropped for dp-divisibility)"
+             if dropped else ""))
     return state, mean_loss
 
 
@@ -152,7 +158,14 @@ def evaluate_nll(
 ) -> float:
     """Mean NLL over a split (t0_always estimator). reference:
     train_test.py:103-149 — note the reference applies augment_noise during
-    evaluation as well (train_test.py:119-124), matched here."""
+    evaluation as well (train_test.py:119-124), matched here.
+
+    With a mesh, uneven tail batches are PADDED to a shardable size by
+    repeating leading molecules with weight 0 (make_eval_nll computes the
+    weighted mean), so every molecule of the split contributes exactly once
+    — matching the reference's partial-batch evaluation. Padding goes to
+    the loader's nominal batch size when known, which also avoids a
+    tail-shape recompile."""
     # Accumulate the weighted sum ON DEVICE and fetch once: a float() per
     # batch forces a host sync (tunnel RTT ~100ms/batch); lazy accumulation
     # overlaps device compute with the next batch's host-side prep.
@@ -160,19 +173,30 @@ def evaluate_nll(
     rng = rng or np.random.default_rng(0)
     if mesh is not None and mesh.size > 1:
         from geoldm_tpu.parallel import sharding as shd
+    nominal = getattr(loader, "batch_size", 0)
     for raw in loader:
         batch = prepare_batch(raw, nodes_dist, conditioning, property_norms,
                               augment_noise=augment_noise, rng=rng)
+        b = batch["x"].shape[0]
         if mesh is not None and mesh.size > 1:
             dp = mesh.shape[shd.DATA_AXIS]
-            bsz = len(batch["x"])
-            if bsz % dp:
-                batch = {k: v[: bsz - bsz % dp] for k, v in batch.items()}
-                if len(batch["x"]) == 0:
-                    continue
+            if b % dp:
+                target = nominal if (nominal >= b and nominal % dp == 0) else (
+                    -(-b // dp) * dp
+                )
+                # Repeat leading molecules (np.resize cycles rows) with
+                # weight 0 — zero-mask rows would NaN the latent model.
+                batch = {
+                    k: jnp.asarray(
+                        np.resize(np.asarray(v), (target,) + v.shape[1:])
+                    )
+                    for k, v in batch.items()
+                }
+                batch["weight"] = jnp.asarray(
+                    (np.arange(target) < b).astype(np.float32)
+                )
             batch = shd.shard_batch(batch, mesh)
         key, sub = jax.random.split(key)
-        b = batch["x"].shape[0]
         total = total + eval_nll_fn(params, batch, sub) * b
         count += b
     mean = float(total) / max(count, 1)
@@ -192,19 +216,25 @@ def evaluate_nll_packed(
     n_passes: int = 1,
     partition: str = "test",
     compute_dtype=None,
+    augment_noise: float = 0.0,
+    stage_bytes: int = 2 << 30,
 ):
-    """Device-resident NLL evaluation: stage the WHOLE split on device once
-    and run each pass as a single ``lax.scan`` over batches.
+    """Device-resident NLL evaluation: stage the split on device in large
+    segments and run each segment as a single ``lax.scan`` over batches.
 
     The loader-per-batch path (evaluate_nll) pays a host->device transfer
     plus dispatch per batch — ~0.4s/batch through the axon tunnel, which
     made the reference protocol's 5 test passes (eval_analyze.py:172-188)
     the wall-clock bottleneck. Here the split is packed [M, N, ...] host-side
-    (vectorized), transferred once, edge masks are rebuilt ON DEVICE from the
-    node mask, and each pass is one dispatch. Returns a list of per-pass
-    mean NLLs.
+    (vectorized), transferred in <= ``stage_bytes`` segments (one segment =
+    one dispatch; small splits stay a single transfer, GEOM-scale splits
+    no longer risk exhausting HBM), edge masks are rebuilt ON DEVICE from
+    the node mask, and ``augment_noise`` is applied on device per pass with
+    fresh CoM-projected noise (reference eval-time augment,
+    train_test.py:119-124). Returns a list of per-pass mean NLLs.
     """
     from geoldm_tpu.models import factory
+    from geoldm_tpu.ops.com import remove_mean_with_mask
     from geoldm_tpu.ops.distance import build_edge_mask
 
     from geoldm_tpu.data.collate import prepare_split_arrays
@@ -239,27 +269,44 @@ def evaluate_nll_packed(
             # np.resize cycles whole rows, so this works even when the
             # padding exceeds the split size (m < batch_size).
             a = np.resize(a, (mp,) + a.shape[1:])
-        return jnp.asarray(a.reshape((steps, batch_size) + a.shape[1:]))
+        return a.reshape((steps, batch_size) + a.shape[1:])
 
-    data = tuple(
+    data_np = tuple(
         pack(a) for a in (pos, hc, h_int, node_mask, log_pN, weight)
     )
+
+    # Segment size: how many scan steps fit the staging budget at once.
+    bytes_per_step = sum(
+        a.itemsize * int(np.prod(a.shape[1:])) for a in data_np
+    )
+    seg_steps = max(1, int(stage_bytes // max(bytes_per_step, 1)))
+    n_segs = -(-steps // seg_steps)
+    if n_segs > 1:
+        print(f"{partition}: staging {steps} batches in {n_segs} segments "
+              f"of <= {seg_steps} ({bytes_per_step * seg_steps / 2**30:.2f} GiB "
+              "device-resident at a time)")
 
     nll_fn = factory.model_nll_fn(model_cfg, training=False,
                                   compute_dtype=compute_dtype)
 
     @jax.jit
-    def run_pass(params, data, key):
+    def run_segment(params, data, key, offset):
         def body(acc, chunk):
             x_, hc_, hi_, nm_, lpn_, w_ = chunk
             em_ = build_edge_mask(nm_)
             k = jax.random.fold_in(key, acc[1])
+            if augment_noise > 0:
+                eps = jax.random.normal(
+                    jax.random.fold_in(k, 0x5EED), x_.shape, x_.dtype
+                ) * nm_
+                eps = remove_mean_with_mask(eps, nm_)
+                x_ = x_ + eps * augment_noise
             nll = nll_fn(params, k, x_, hc_, hi_, nm_, em_, None) - lpn_
             return (acc[0] + jnp.sum(nll * w_), acc[1] + 1), None
 
-        init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+        init = (jnp.zeros((), jnp.float32), offset)
         (total, _), _ = jax.lax.scan(body, init, data)
-        return total / max(m, 1)
+        return total
 
     if m == 0:
         # Empty split: match evaluate_nll's 0.0 (instead of scanning
@@ -269,7 +316,13 @@ def evaluate_nll_packed(
     means = []
     for i in range(n_passes):
         key, sub = jax.random.split(key)
-        val = float(run_pass(params, data, sub))
+        total = 0.0
+        for s0 in range(0, steps, seg_steps):
+            seg = tuple(jnp.asarray(a[s0:s0 + seg_steps]) for a in data_np)
+            total += float(
+                run_segment(params, seg, sub, jnp.asarray(s0, jnp.int32))
+            )
+        val = total / max(m, 1)
         print(f"{partition}[{i}] NLL: {val:.4f}")
         means.append(val)
     return means

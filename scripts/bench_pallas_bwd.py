@@ -45,6 +45,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.config import EGNNConfig
     from geoldm_tpu.nn.egnn import egnn_apply, egnn_init
     from geoldm_tpu.ops.distance import build_edge_mask

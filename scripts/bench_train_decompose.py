@@ -28,6 +28,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.config import TrainConfig
     from geoldm_tpu.data.datasets_config import get_dataset_info
     from geoldm_tpu.data.synthetic import synthetic_batch

@@ -70,6 +70,10 @@ def main() -> None:
 
     import jax
 
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from geoldm_tpu.cli import eval_analyze
     from geoldm_tpu.data.datasets_config import get_dataset_info
     from geoldm_tpu.models import factory

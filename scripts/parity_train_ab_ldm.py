@@ -1,0 +1,449 @@
+"""PARITY_TRAIN v2: flagship-shape LATENT-DIFFUSION A/B with seeds + CIs.
+
+Round-2's A/B compared a small VDM (nf=32, 2 layers); this one trains the
+actual flagship model *kind* — EnLatentDiffusion with trainable_ae (VAE
+encoder + 9-layer decoder + 9-layer denoiser), latent_nf=1, T=500 — scaled
+to this host's 1-core CPU budget via nf=64 and template molecules.
+
+Protocol upgrades over v1 (addressing the round-2 verdict):
+- >=2 seeds per side: each seed draws its own torch init (transferred to
+  JAX, so a pair shares init) and both frameworks see the SAME batch
+  sequence; per-step diffusion randomness stays independent per side.
+  Between-seed spread within a framework is the yardstick for
+  between-framework differences.
+- Binomial 95% CIs (Wilson) on every stability number, with enough
+  sampled molecules per checkpoint for the CI to be meaningful.
+- The loss table reports per-seed windows AND the cross-framework ratio
+  of seed-pooled means.
+
+reference counterparts: en_diffusion.py:1057-1219 (EnLatentDiffusion),
+README.md:24 (flagship QM9 recipe), eval protocol qm9/analyze.py.
+
+Run: JAX_PLATFORMS=cpu python scripts/parity_train_ab_ldm.py
+     [--steps 600] [--n_eval 510] [--seeds 0 1] [--out PARITY_TRAIN.md]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)
+if REFERENCE not in sys.path:
+    sys.path.append(REFERENCE)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+import torch  # noqa: E402
+
+from egnn.models import (  # noqa: E402
+    EGNN_decoder_QM9,
+    EGNN_dynamics_QM9,
+    EGNN_encoder_QM9,
+)
+from equivariant_diffusion.en_diffusion import (  # noqa: E402
+    EnHierarchicalVAE,
+    EnLatentDiffusion,
+)
+
+from geoldm_tpu.data.collate import collate_molecules  # noqa: E402
+from geoldm_tpu.data.datasets_config import get_dataset_info  # noqa: E402
+from geoldm_tpu.diffusion import latent as ldm  # noqa: E402
+from geoldm_tpu.evalsuite.analyze import analyze_stability_for_molecules  # noqa: E402
+from geoldm_tpu.models import factory  # noqa: E402
+from geoldm_tpu.ops.distance import build_edge_mask  # noqa: E402
+
+sys.path.insert(0, os.path.join(REPO, "tests"))
+from parity_utils import (  # noqa: E402
+    decoder_params_from_torch,
+    dynamics_params_from_torch,
+    encoder_params_from_torch,
+)
+
+INFO = get_dataset_info("qm9")
+NF, LAYERS, LATENT_NF, T_DIFF = 64, 9, 1, 500
+BS, PAD = 32, 8
+LR = 5e-4
+IN_NODE_NF = 6  # 5 atom types + charges
+
+
+# --- exact template molecules (same as scripts/parity_train_ab.py) ---------
+
+def methane():
+    t = 1.087 / np.sqrt(3.0)
+    pos = np.array([[0, 0, 0], [t, t, t], [t, -t, -t], [-t, t, -t], [-t, -t, t]], np.float32)
+    return pos, [1, 0, 0, 0, 0], [6, 1, 1, 1, 1]
+
+
+def water():
+    a = np.deg2rad(104.5)
+    d = 0.958
+    pos = np.array([[0, 0, 0], [d, 0, 0], [d * np.cos(a), d * np.sin(a), 0]], np.float32)
+    return pos, [3, 0, 0], [8, 1, 1]
+
+
+def ammonia():
+    d = 1.012
+    z = d * np.cos(np.deg2rad(68))
+    r = d * np.sin(np.deg2rad(68))
+    pos = [[0, 0, 0]]
+    for k in range(3):
+        th = 2 * np.pi * k / 3
+        pos.append([r * np.cos(th), r * np.sin(th), z])
+    return np.array(pos, np.float32), [2, 0, 0, 0], [7, 1, 1, 1]
+
+
+TEMPLATES = [methane(), water(), ammonia()]
+SIZES = np.array([5, 3, 4])
+
+
+def make_batch(rng, bs=BS):
+    positions, ohs, chs = [], [], []
+    for _ in range(bs):
+        pos, types, charges = TEMPLATES[rng.integers(len(TEMPLATES))]
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        p = (pos @ q.astype(np.float32)) + rng.standard_normal(pos.shape).astype(np.float32) * 0.01
+        p = p - p.mean(0)
+        positions.append(p)
+        ohs.append(np.eye(5, dtype=np.float32)[types])
+        chs.append(np.array(charges, np.float32))
+    return collate_molecules(positions, ohs, chs, pad_nodes=PAD)
+
+
+def wilson_ci(k: float, n: float, z: float = 1.96):
+    """95% Wilson score interval for k successes out of n."""
+    if n == 0:
+        return 0.0, 0.0, 1.0
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return p, max(0.0, center - half), min(1.0, center + half)
+
+
+def _stability_counts(one_hot, x, node_mask):
+    """(stable_atoms, total_atoms, stable_mols, total_mols)."""
+    mols = {"one_hot": one_hot, "x": x, "node_mask": node_mask}
+    v, _ = analyze_stability_for_molecules(mols, INFO, use_rdkit=False)
+    n_atoms = float(node_mask.sum())
+    n_mols = float(one_hot.shape[0])
+    return (v["atm_stable"] * n_atoms, n_atoms, v["mol_stable"] * n_mols, n_mols)
+
+
+def build_pair(seed: int):
+    """Torch flagship-kind LDM + its init transferred to a JAX param tree."""
+    torch.manual_seed(seed)
+    enc = EGNN_encoder_QM9(
+        in_node_nf=IN_NODE_NF, context_node_nf=0, out_node_nf=LATENT_NF,
+        n_dims=3, hidden_nf=NF, n_layers=1, attention=True, tanh=True,
+        norm_constant=1.0, inv_sublayers=1, sin_embedding=False,
+        normalization_factor=1.0, aggregation_method="sum", include_charges=True,
+    )
+    dec = EGNN_decoder_QM9(
+        in_node_nf=LATENT_NF, context_node_nf=0, out_node_nf=IN_NODE_NF,
+        n_dims=3, hidden_nf=NF, n_layers=LAYERS, attention=True, tanh=True,
+        norm_constant=1.0, inv_sublayers=1, sin_embedding=False,
+        normalization_factor=1.0, aggregation_method="sum", include_charges=True,
+    )
+    vae = EnHierarchicalVAE(
+        encoder=enc, decoder=dec, in_node_nf=IN_NODE_NF, n_dims=3,
+        latent_node_nf=LATENT_NF, kl_weight=0.01, norm_values=(1, 4, 10),
+        include_charges=True,
+    )
+    dyn = EGNN_dynamics_QM9(
+        in_node_nf=LATENT_NF + 1, context_node_nf=0, n_dims=3, hidden_nf=NF,
+        n_layers=LAYERS, attention=True, tanh=True, norm_constant=1.0,
+        inv_sublayers=1, sin_embedding=False, normalization_factor=1.0,
+        aggregation_method="sum", condition_time=True,
+    )
+    ref = EnLatentDiffusion(
+        vae=vae, trainable_ae=True, dynamics=dyn, in_node_nf=LATENT_NF,
+        n_dims=3, timesteps=T_DIFF, noise_schedule="polynomial_2",
+        noise_precision=1e-5, loss_type="l2", norm_values=(1.0, 4.0, 10.0),
+        include_charges=True,
+    )
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=NF, n_layers=LAYERS, latent_nf=LATENT_NF,
+        normalization_factor=1.0, diffusion_steps=T_DIFF, trainable_ae=True,
+    )
+    params = {
+        "dynamics": dynamics_params_from_torch(dyn, LAYERS, 1, True),
+        "vae": {
+            "encoder": encoder_params_from_torch(enc, 1, 1, True),
+            "decoder": decoder_params_from_torch(dec, LAYERS, 1, True),
+        },
+    }
+    return ref, cfg, params
+
+
+def run_seed(seed: int, batches, args, results):
+    """Train one torch/jax pair for args.steps; returns loss + stab rows."""
+    ref, cfg, params = build_pair(seed)
+
+    opt_t = torch.optim.AdamW(ref.parameters(), lr=LR, amsgrad=True, weight_decay=1e-12)
+    tx = optax.chain(
+        optax.scale_by_amsgrad(),
+        optax.add_decayed_weights(1e-12),
+        optax.scale(-LR),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key, x, h_cat, h_int, node_mask, edge_mask):
+        def loss_fn(p):
+            return ldm.ldm_nll(
+                p, cfg.diffusion, cfg.dynamics, cfg.vae, key, x, h_cat, h_int,
+                node_mask, edge_mask, training=True, trainable_ae=True,
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sample_j = jax.jit(
+        lambda p, key, nm, em: ldm.ldm_sample(
+            p, cfg.diffusion, cfg.dynamics, cfg.vae, key, nm, em, None
+        )
+    )
+
+    loss_t_hist, loss_j_hist = [], []
+
+    def eval_stability(step):
+        per_size = args.n_eval // len(SIZES)
+        # torch side
+        t_counts = np.zeros(4)
+        ref.eval()
+        with torch.no_grad():
+            for n in SIZES:
+                nm = torch.ones(per_size, int(n), 1)
+                em = (torch.ones(int(n), int(n)) - torch.eye(int(n))).repeat(
+                    per_size, 1, 1
+                ).view(-1, 1)
+                x_s, h_s = ref.sample(per_size, int(n), nm, em, None)
+                pad_x = np.zeros((per_size, PAD, 3), np.float32)
+                pad_oh = np.zeros((per_size, PAD, 5), np.float32)
+                pad_nm = np.zeros((per_size, PAD), np.float32)
+                pad_x[:, :n] = x_s.numpy()
+                pad_oh[:, :n] = h_s["categorical"].numpy()
+                pad_nm[:, :n] = 1.0
+                t_counts += np.array(_stability_counts(pad_oh, pad_x, pad_nm))
+        ref.train()
+
+        # jax side
+        j_counts = np.zeros(4)
+        for i, n in enumerate(SIZES):
+            nm = jnp.ones((per_size, int(n), 1))
+            em = build_edge_mask(nm)
+            x_s, h_cat_s, _ = sample_j(
+                params, jax.random.key(7000 + 31 * step + i), nm, em
+            )
+            pad_x = np.zeros((per_size, PAD, 3), np.float32)
+            pad_oh = np.zeros((per_size, PAD, 5), np.float32)
+            pad_nm = np.zeros((per_size, PAD), np.float32)
+            pad_x[:, :n] = np.asarray(x_s)
+            pad_oh[:, :n] = np.asarray(h_cat_s)
+            pad_nm[:, :n] = 1.0
+            j_counts += np.array(_stability_counts(pad_oh, pad_x, pad_nm))
+
+        results["stab"].append(
+            {"seed": seed, "step": step,
+             "torch": list(t_counts), "jax": list(j_counts)}
+        )
+        ta = wilson_ci(t_counts[0], t_counts[1])
+        ja = wilson_ci(j_counts[0], j_counts[1])
+        print(f"  [seed {seed}] step {step}: atm torch {ta[0]:.3f} "
+              f"[{ta[1]:.3f},{ta[2]:.3f}] vs jax {ja[0]:.3f} "
+              f"[{ja[1]:.3f},{ja[2]:.3f}]", flush=True)
+
+    t0 = time.time()
+    for i, b in enumerate(batches):
+        x_np, oh_np, ch_np, nm_np = b["x"], b["h_cat"], b["h_int"], b["node_mask"]
+        em_np = (nm_np[:, :, None, 0] * nm_np[:, None, :, 0]) * (
+            1 - np.eye(PAD, dtype=np.float32)[None]
+        )
+
+        opt_t.zero_grad()
+        nll = ref(
+            torch.from_numpy(x_np),
+            {"categorical": torch.from_numpy(oh_np), "integer": torch.from_numpy(ch_np)},
+            torch.from_numpy(nm_np),
+            torch.from_numpy(em_np.reshape(-1, 1)),
+            None,
+        ).mean()
+        nll.backward()
+        opt_t.step()
+        loss_t_hist.append(float(nll.detach()))
+
+        params, opt_state, loss_j = train_step(
+            params, opt_state, jax.random.key(seed * 100_000 + i),
+            jnp.asarray(x_np), jnp.asarray(oh_np), jnp.asarray(ch_np),
+            jnp.asarray(nm_np), jnp.asarray(em_np[..., None]),
+        )
+        loss_j_hist.append(float(loss_j))
+
+        if i % 50 == 0:
+            print(f"[seed {seed}] step {i}: torch {loss_t_hist[-1]:.4f} "
+                  f"jax {loss_j_hist[-1]:.4f} ({time.time()-t0:.0f}s)", flush=True)
+        if (i + 1) % args.eval_every == 0 or i == args.steps - 1:
+            eval_stability(i + 1)
+
+    results["loss"].append(
+        {"seed": seed, "torch": loss_t_hist, "jax": loss_j_hist}
+    )
+
+
+def write_report(results, args, elapsed, out_path):
+    k = 50
+
+    def win_means(hist):
+        a = np.array(hist)
+        return [float(a[s:s + k].mean()) for s in range(0, len(a), k)]
+
+    lines = [
+        "# PARITY_TRAIN — flagship-shape LDM A/B, reference (torch) vs geoldm-tpu (JAX)",
+        "",
+        f"EnLatentDiffusion with trainable_ae (encoder 1 + decoder {LAYERS} + "
+        f"denoiser {LAYERS} EGNN blocks), nf={NF}, latent_nf={LATENT_NF}, "
+        f"T={T_DIFF}, polynomial_2, l2 — the flagship model *kind* at the",
+        "largest width this host's single CPU core can train in-budget.",
+        f"{len(args.seeds)} seeds per side; a seed pair shares its initial",
+        "weights (torch init transferred to JAX) and its batch sequence",
+        "(methane/water/ammonia templates with random rotations); per-step",
+        "diffusion randomness is independent per side. Between-seed spread",
+        "within a framework is the yardstick for between-framework gaps.",
+        "",
+        "Companion evidence: tests/test_grad_parity.py (per-step d(loss)/d(params)",
+        "parity at f32 tolerance for this exact model kind), tests/test_model_parity.py",
+        "(forward losses), tests/test_sampler_parity.py (reverse-process rollouts).",
+        "",
+        "## Loss trajectory (mean over 50-step windows, per seed)",
+        "",
+        "| steps | " + " | ".join(
+            f"torch s{s} | jax s{s}" for s in args.seeds
+        ) + " | pooled ratio jax/torch |",
+        "|" + "---|" * (2 * len(args.seeds) + 2),
+    ]
+    wt_all, wj_all = [], []
+    for r in results["loss"]:
+        wt_all.append(win_means(r["torch"]))
+        wj_all.append(win_means(r["jax"]))
+    n_win = len(wt_all[0])
+    for w in range(n_win):
+        t_vals = [wt[w] for wt in wt_all]
+        j_vals = [wj[w] for wj in wj_all]
+        cells = []
+        for t, j in zip(t_vals, j_vals):
+            cells.append(f"{t:.4f}")
+            cells.append(f"{j:.4f}")
+        ratio = float(np.mean(j_vals) / np.mean(t_vals))
+        lines.append(
+            f"| {w*k}-{w*k+k-1} | " + " | ".join(cells) + f" | {ratio:.3f} |"
+        )
+
+    # Seed spread vs framework gap at the final window.
+    t_fin = [wt[-1] for wt in wt_all]
+    j_fin = [wj[-1] for wj in wj_all]
+    lines += [
+        "",
+        f"Final-window loss: torch {np.mean(t_fin):.4f} "
+        f"(seed range {min(t_fin):.4f}-{max(t_fin):.4f}), "
+        f"jax {np.mean(j_fin):.4f} "
+        f"(seed range {min(j_fin):.4f}-{max(j_fin):.4f}).",
+        "",
+        "## Sampled stability with 95% Wilson CIs "
+        f"({args.n_eval} molecules/side/checkpoint/seed)",
+        "",
+        "| seed | step | torch atm [CI] | jax atm [CI] | torch mol [CI] | jax mol [CI] | CIs overlap |",
+        "|---|---|---|---|---|---|---|",
+    ]
+
+    def fmt(ci):
+        return f"{ci[0]:.3f} [{ci[1]:.3f},{ci[2]:.3f}]"
+
+    for row in results["stab"]:
+        ta = wilson_ci(row["torch"][0], row["torch"][1])
+        ja = wilson_ci(row["jax"][0], row["jax"][1])
+        tm = wilson_ci(row["torch"][2], row["torch"][3])
+        jm = wilson_ci(row["jax"][2], row["jax"][3])
+        atm_ok = ta[1] <= ja[2] and ja[1] <= ta[2]
+        mol_ok = tm[1] <= jm[2] and jm[1] <= tm[2]
+        lines.append(
+            f"| {row['seed']} | {row['step']} | {fmt(ta)} | {fmt(ja)} | "
+            f"{fmt(tm)} | {fmt(jm)} | "
+            f"atm {'yes' if atm_ok else 'NO'} / mol {'yes' if mol_ok else 'NO'} |"
+        )
+
+    # Pooled across seeds at the final step.
+    final_step = max(r["step"] for r in results["stab"])
+    pool_t = np.sum([r["torch"] for r in results["stab"] if r["step"] == final_step], axis=0)
+    pool_j = np.sum([r["jax"] for r in results["stab"] if r["step"] == final_step], axis=0)
+    ta = wilson_ci(pool_t[0], pool_t[1])
+    ja = wilson_ci(pool_j[0], pool_j[1])
+    tm = wilson_ci(pool_t[2], pool_t[3])
+    jm = wilson_ci(pool_j[2], pool_j[3])
+    lines += [
+        "",
+        f"Pooled final-checkpoint (step {final_step}, "
+        f"{int(pool_t[3])} molecules/side): atom stability torch {fmt(ta)} vs "
+        f"jax {fmt(ja)}; molecule stability torch {fmt(tm)} vs jax {fmt(jm)}.",
+        f"Atom-stability CIs overlap: {'yes' if (ta[1] <= ja[2] and ja[1] <= ta[2]) else 'NO'}; "
+        f"molecule-stability CIs overlap: {'yes' if (tm[1] <= jm[2] and jm[1] <= tm[2]) else 'NO'}.",
+        "",
+        f"Wall-clock: {elapsed/60:.1f} min total on 1 CPU core "
+        "(both frameworks, all seeds, training + sampling).",
+        "",
+        f"Reproduce: `JAX_PLATFORMS=cpu python scripts/parity_train_ab_ldm.py "
+        f"--steps {args.steps} --n_eval {args.n_eval} "
+        f"--seeds {' '.join(str(s) for s in args.seeds)}`",
+        "",
+        "## Appendix: v1 (round 2) small-VDM A/B",
+        "",
+        "The earlier nf=32 2-layer VDM A/B (no CIs) is superseded by the",
+        "table above; reproduce it with `scripts/parity_train_ab.py`.",
+        "",
+    ]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_path}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--eval_every", type=int, default=300)
+    ap.add_argument("--n_eval", type=int, default=510, help="molecules per side per checkpoint")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--out", type=str, default=os.path.join(REPO, "PARITY_TRAIN.md"))
+    ap.add_argument("--json_out", type=str, default=None,
+                    help="also dump raw results as JSON")
+    args = ap.parse_args(argv)
+    torch.set_num_threads(max(1, len(os.sched_getaffinity(0))))
+
+    rng = np.random.default_rng(7)
+    batches = [make_batch(rng) for _ in range(args.steps)]
+
+    print(f"LDM A/B: {args.steps} steps x seeds {args.seeds}, bs={BS}, "
+          f"nf={NF}, layers={LAYERS}, T={T_DIFF}, trainable_ae", flush=True)
+    results = {"loss": [], "stab": []}
+    t0 = time.time()
+    for seed in args.seeds:
+        run_seed(seed, batches, args, results)
+    elapsed = time.time() - t0
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f)
+    write_report(results, args, elapsed, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -265,6 +265,95 @@ def test_evaluate_nll_packed_finite_for_ldm_with_padded_tail():
     assert np.isfinite(vals).all()
 
 
+def _nll_split(m=11, stored_n=9, seed=0):
+    rng = np.random.default_rng(seed)
+    nodes_dist = DistributionNodes(INFO.n_nodes)
+    num_atoms = np.minimum(nodes_dist.sample(m, rng), stored_n)
+    mask = (np.arange(stored_n)[None] < num_atoms[:, None]).astype(np.float32)
+    return {
+        "num_atoms": num_atoms,
+        "positions": (rng.standard_normal((m, stored_n, 3)) * mask[..., None]
+                      ).astype(np.float32),
+        "one_hot": np.eye(5, dtype=np.float32)[rng.integers(0, 5, (m, stored_n))],
+        "charges": rng.integers(1, 9, (m, stored_n)).astype(np.float32),
+    }, nodes_dist
+
+
+def test_evaluate_nll_packed_segmented_matches_single_transfer():
+    """A tiny stage_bytes budget forces multi-segment device staging; the
+    result must be identical to the single-transfer path (same scan keys —
+    the segment offset continues the fold_in index)."""
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.train import trainer as trainer_mod
+
+    cfg = factory.make_diffusion_model_config(INFO, nf=16, n_layers=1,
+                                              diffusion_steps=8)
+    params = factory.init_params(jax.random.key(0), cfg)
+    split, nodes_dist = _nll_split()
+    kw = dict(batch_size=4, pad_nodes=12, n_passes=1, partition="t")
+    single = trainer_mod.evaluate_nll_packed(
+        params, cfg, split, nodes_dist, jax.random.key(7), **kw
+    )[0]
+    segmented = trainer_mod.evaluate_nll_packed(
+        params, cfg, split, nodes_dist, jax.random.key(7), stage_bytes=1, **kw
+    )[0]
+    np.testing.assert_allclose(segmented, single, rtol=2e-6)
+
+
+def test_evaluate_nll_packed_augment_noise():
+    """augment_noise > 0 perturbs coordinates on device per pass (reference
+    applies eval-time augment noise, train_test.py:119-124): the value must
+    stay finite and differ from the noise-free evaluation."""
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.train import trainer as trainer_mod
+
+    cfg = factory.make_diffusion_model_config(INFO, nf=16, n_layers=1,
+                                              diffusion_steps=8)
+    params = factory.init_params(jax.random.key(0), cfg)
+    split, nodes_dist = _nll_split(seed=3)
+    kw = dict(batch_size=4, pad_nodes=12, n_passes=1, partition="t")
+    clean = trainer_mod.evaluate_nll_packed(
+        params, cfg, split, nodes_dist, jax.random.key(5), **kw
+    )[0]
+    noisy = trainer_mod.evaluate_nll_packed(
+        params, cfg, split, nodes_dist, jax.random.key(5),
+        augment_noise=0.5, **kw
+    )[0]
+    assert np.isfinite(noisy)
+    assert abs(noisy - clean) > 1e-6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_evaluate_nll_mesh_counts_every_molecule():
+    """With a mesh, uneven tail batches are padded with zero-weight repeats
+    (not trimmed): every molecule contributes exactly once, matching the
+    no-mesh evaluation of the same batches with a deterministic metric."""
+    from geoldm_tpu.train import trainer as trainer_mod
+
+    nodes_dist = DistributionNodes(INFO.n_nodes)
+    batches = [
+        synthetic_batch(INFO, b, pad_nodes=12, rng=np.random.default_rng(s))
+        for s, b in ((0, 8), (1, 8), (2, 3))  # tail of 3 on a dp=8 mesh
+    ]
+
+    def metric_fn(params, batch, key):
+        per_mol = jnp.sum(batch["x"] ** 2, axis=(1, 2)) - batch["log_pN"]
+        w = batch.get("weight")
+        if w is None:
+            return jnp.mean(per_mol)
+        return jnp.sum(per_mol * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    expected = trainer_mod.evaluate_nll(
+        None, metric_fn, batches, nodes_dist, jax.random.key(0), partition="t"
+    )
+    mesh = shd.make_mesh(dp=8, tp=1)
+    got = trainer_mod.evaluate_nll(
+        None, metric_fn, batches, nodes_dist, jax.random.key(0),
+        partition="t", mesh=mesh,
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.slow
 def test_train_epoch_shards_batches_on_mesh():
