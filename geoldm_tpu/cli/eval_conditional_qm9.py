@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--classifier_nf", type=int, default=128)
     p.add_argument("--classifier_layers", type=int, default=7)
     p.add_argument("--debug_break", action="store_true")
+    p.add_argument("--nodes_from_data", action="store_true",
+                   help="build the molecule-size prior from the loaded "
+                        "split instead of the static QM9 table (needed for "
+                        "generators trained on non-QM9/synthetic data)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -46,7 +50,7 @@ def _load_classifier(path, nf, n_layers):
     return ckpt.load_checkpoint(path, template=template, name="best")
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> float:
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp
@@ -92,7 +96,15 @@ def main(argv=None) -> None:
         state = ckpt.load_checkpoint(args.generators_path, template=template, name="best")
         params = state["ema_params"]
 
-        nodes_dist = DistributionNodes(info.n_nodes)
+        if args.nodes_from_data:
+            from collections import Counter
+
+            hist = Counter(int(n) for n in splits["train"]["num_atoms"])
+            nodes_dist = DistributionNodes(dict(hist))
+            pad_nodes = int(np.max(splits["train"]["num_atoms"]))
+        else:
+            nodes_dist = DistributionNodes(info.n_nodes)
+            pad_nodes = None
         prop_dist = DistributionProperty(
             splits["train"]["num_atoms"], {prop: splits["train"][prop]}
         )
@@ -106,7 +118,7 @@ def main(argv=None) -> None:
             key, sub = jax.random.split(key)
             one_hot, charges, x, node_mask = sampling_mod.sample(
                 model_cfg, params, sub, info, nodesxsample, context=ctx_norm,
-                rng=rng,
+                pad_nodes=pad_nodes, rng=rng,
             )
             _, edge_mask = build_masks(node_mask[..., 0].sum(1).astype(int),
                                        node_mask.shape[1])
@@ -159,7 +171,9 @@ def main(argv=None) -> None:
         print(f"sweep gif: {gif}")
         return
 
-    print(f"{args.task} MAE over {len(losses)} iterations: {np.mean(losses):.4f}")
+    mean_mae = float(np.mean(losses)) if losses else float("nan")
+    print(f"{args.task} MAE over {len(losses)} iterations: {mean_mae:.4f}")
+    return mean_mae
 
 
 if __name__ == "__main__":
