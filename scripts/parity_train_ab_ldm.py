@@ -382,6 +382,54 @@ def write_report(results, args, elapsed, out_path):
             f"atm {'yes' if atm_ok else 'NO'} / mol {'yes' if mol_ok else 'NO'} |"
         )
 
+    # Paired framework comparison over ALL (seed, checkpoint) cells — the
+    # statistically honest test. Individual checkpoint CIs often do NOT
+    # overlap (in both directions!), because the metric swings between
+    # checkpoints WITHIN one framework far more than binomial noise: the
+    # training trajectory itself is the dominant randomness at this scale.
+    # A paired t-interval over the 12 (seed, step) cells integrates over
+    # that trajectory noise; zero inside the interval = no detectable
+    # framework effect.
+    import math
+
+    ta = np.array([r["torch"][0] / r["torch"][1] for r in results["stab"]])
+    ja = np.array([r["jax"][0] / r["jax"][1] for r in results["stab"]])
+    tm = np.array([r["torch"][2] / r["torch"][3] for r in results["stab"]])
+    jm = np.array([r["jax"][2] / r["jax"][3] for r in results["stab"]])
+
+    def tci(d):
+        # two-sided 95% t interval for the paired mean difference
+        from numpy import mean, std
+        tq = {3: 3.182, 7: 2.365, 11: 2.201, 15: 2.131}.get(len(d) - 1, 2.0)
+        m = float(mean(d))
+        se = float(std(d, ddof=1)) / math.sqrt(len(d))
+        return m, m - tq * se, m + tq * se
+
+    da = tci(ja - ta)
+    dm = tci(jm - tm)
+    n_cells = len(ta)
+    half_binom = 1.96 * math.sqrt(0.25 / float(results["stab"][0]["torch"][1]))
+    lines += [
+        "",
+        "### Paired framework comparison (the valid test)",
+        "",
+        f"Per-checkpoint stability swings WITHIN one framework (sd across the "
+        f"{n_cells} cells: torch {np.std(ta, ddof=1):.3f}, jax "
+        f"{np.std(ja, ddof=1):.3f}) dwarf single-checkpoint binomial noise "
+        f"(~±{half_binom:.3f}), so isolated CI overlap above is the wrong "
+        "test — the training trajectory is the dominant randomness and both "
+        "frameworks sample it independently. Pairing the cells:",
+        "",
+        "| metric | torch mean | jax mean | paired diff jax−torch [95% CI] | framework effect? |",
+        "|---|---|---|---|---|",
+        f"| atom stability | {ta.mean():.3f} | {ja.mean():.3f} | "
+        f"{da[0]:+.3f} [{da[1]:+.3f}, {da[2]:+.3f}] | "
+        f"{'none detectable' if da[1] <= 0 <= da[2] else 'DETECTED'} |",
+        f"| molecule stability | {tm.mean():.3f} | {jm.mean():.3f} | "
+        f"{dm[0]:+.3f} [{dm[1]:+.3f}, {dm[2]:+.3f}] | "
+        f"{'none detectable' if dm[1] <= 0 <= dm[2] else 'DETECTED'} |",
+    ]
+
     # Pooled across seeds at the final step.
     final_step = max(r["step"] for r in results["stab"])
     pool_t = np.sum([r["torch"] for r in results["stab"] if r["step"] == final_step], axis=0)
@@ -425,8 +473,17 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "PARITY_TRAIN.md"))
     ap.add_argument("--json_out", type=str, default=None,
                     help="also dump raw results as JSON")
+    ap.add_argument("--report_only", type=str, default=None,
+                    help="regenerate the report from a saved --json_out file "
+                         "without retraining")
     args = ap.parse_args(argv)
     torch.set_num_threads(max(1, len(os.sched_getaffinity(0))))
+
+    if args.report_only:
+        with open(args.report_only) as f:
+            results = json.load(f)
+        write_report(results, args, results.get("elapsed", 0.0), args.out)
+        return
 
     rng = np.random.default_rng(7)
     batches = [make_batch(rng) for _ in range(args.steps)]
@@ -439,6 +496,7 @@ def main(argv=None):
         run_seed(seed, batches, args, results)
     elapsed = time.time() - t0
 
+    results["elapsed"] = elapsed
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(results, f)
