@@ -175,7 +175,7 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
         info = get_dataset_info("geom")
         model_kw = dict(nf=256, n_layers=4, latent_nf=2, diffusion_steps=steps)
         total = int(os.environ.get("GEOLDM_BENCH_GEOM_TOTAL", "250"))
-        buckets = (184,) if flat else (48, 88, 184)
+        buckets = (184,) if flat else sampling_mod.GEOM_SAMPLE_BUCKETS
         train_bs, train_pad = 32, 184
     else:
         info = get_dataset_info("qm9")
@@ -183,6 +183,10 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
         total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
         buckets = (32,) if flat else (16, 24, 32)
         train_bs, train_pad = 64, 32
+    if os.environ.get("GEOLDM_BENCH_BUCKETS"):
+        buckets = tuple(
+            int(b) for b in os.environ["GEOLDM_BENCH_BUCKETS"].split(",")
+        )
     cfg = factory.make_latent_diffusion_config(info, **model_kw)
     # Training benches the flagship recipe with the fused Pallas fwd+bwd
     # kernel by default (1.4x the XLA grad path on v5e, and its backward

@@ -132,6 +132,19 @@ def sample(
 
 
 DEFAULT_SAMPLE_BUCKETS = (16, 24, 32)
+# GEOM-Drugs size histogram (mean 46.6, max 181): finer buckets than the
+# round-2 (48, 88, 184) set cut the expected O(pad^2) edge work 1.5x
+# (E[pad^2] 4548 -> ~2950) at the cost of a few more compiled shapes —
+# amortized by the persistent compile cache.
+GEOM_SAMPLE_BUCKETS = (32, 48, 64, 96, 136, 184)
+
+
+def default_buckets(dataset_info) -> tuple:
+    """Per-dataset sampling buckets matched to the size histogram."""
+    name = dataset_info["name"] if not hasattr(dataset_info, "name") else dataset_info.name
+    if "geom" in name:
+        return GEOM_SAMPLE_BUCKETS
+    return DEFAULT_SAMPLE_BUCKETS
 
 
 def sample_bucketed(

