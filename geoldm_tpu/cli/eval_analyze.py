@@ -103,25 +103,47 @@ def main(argv=None) -> None:
 
     nll_val = nll_test = None
     if not args.skip_nll:
-        from geoldm_tpu.data.qm9 import load_qm9
+        if args.dataset.startswith("geom"):
+            # GEOM NLL: the reference evaluates whatever dataset the
+            # checkpoint trained on; GEOM splits come from the conformer
+            # npy + fixed permutation, stacked into the packed layout.
+            from geoldm_tpu.data import geom as geom_mod
 
-        splits, _ = load_qm9(args.datadir, dataset=args.dataset, remove_h=args.remove_h)
+            conf = os.path.join(
+                args.datadir, getattr(args, "conformation_file",
+                                      "geom_drugs_30.npy"),
+            )
+            _, val_l, test_l = geom_mod.load_split_data(conf)
+            splits = {
+                "valid": geom_mod.split_dict(val_l, dataset_info),
+                "test": geom_mod.split_dict(test_l, dataset_info),
+            }
+        else:
+            from geoldm_tpu.data.qm9 import load_qm9
+
+            splits, _ = load_qm9(args.datadir, dataset=args.dataset, remove_h=args.remove_h)
         # Device-resident NLL: each pass is ONE dispatch over the staged
         # split (the per-batch loader path pays a host->device transfer per
         # batch — ~0.4s/batch through a remote tunnel).
         t_nll = time.time()
+        # GEOM pads to the 8-aligned 184 (181 would force unaligned TPU
+        # layouts); masks carry the real size so the NLL is unchanged.
+        pad_nll = (
+            -(-dataset_info.max_n_nodes // 8) * 8
+            if args.dataset.startswith("geom") else dataset_info.max_n_nodes
+        )
         key, vk = jax.random.split(key)
         nll_val = trainer_mod.evaluate_nll_packed(
             params, model_cfg, splits["valid"], nodes_dist, vk,
             batch_size=args.batch_size_nll,
-            pad_nodes=dataset_info.max_n_nodes, partition="valid",
+            pad_nodes=pad_nll, partition="valid",
             compute_dtype=compute_dtype, augment_noise=args.augment_noise,
         )[0]
         key, tk = jax.random.split(key)
         tests = trainer_mod.evaluate_nll_packed(
             params, model_cfg, splits["test"], nodes_dist, tk,
             batch_size=args.batch_size_nll,
-            pad_nodes=dataset_info.max_n_nodes,
+            pad_nodes=pad_nll,
             n_passes=args.n_test_passes, partition="test",
             compute_dtype=compute_dtype, augment_noise=args.augment_noise,
         )

@@ -225,3 +225,35 @@ class GeomLoader:
             self._rng.shuffle(plan)
         for pad, idxs in plan:
             yield self._make_batch(idxs, pad)
+
+
+def split_dict(
+    data_list: Sequence[np.ndarray],
+    dataset_info: DatasetInfo,
+    stored_n: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Stack a GEOM split (list of [n, 4] atomic_number+xyz arrays) into
+    the split-dict layout the packed NLL path consumes
+    (num_atoms / positions / one_hot / charges) — the GEOM counterpart of
+    load_qm9's split dicts, so eval_analyze's NLL phase works on GEOM
+    models (reference eval_analyze.py evaluates whatever dataset the
+    checkpoint was trained on)."""
+    atomic = np.asarray(dataset_info.atomic_numbers, dtype=np.int64)
+    m = len(data_list)
+    num_atoms = np.array([mol.shape[0] for mol in data_list], dtype=np.int64)
+    n = stored_n or (int(num_atoms.max()) if m else 0)
+    positions = np.zeros((m, n, 3), dtype=np.float32)
+    one_hot = np.zeros((m, n, len(atomic)), dtype=np.float32)
+    charges = np.zeros((m, n), dtype=np.float32)
+    for i, mol in enumerate(data_list):
+        k = mol.shape[0]
+        types = mol[:, 0].astype(np.int64)
+        positions[i, :k] = mol[:, 1:4]
+        one_hot[i, :k] = (types[:, None] == atomic[None, :]).astype(np.float32)
+        charges[i, :k] = types
+    return {
+        "num_atoms": num_atoms,
+        "positions": positions,
+        "one_hot": one_hot,
+        "charges": charges,
+    }

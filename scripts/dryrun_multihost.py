@@ -142,14 +142,49 @@ def child_main(pid: int, n_hosts: int, devices_per_host: int, port: int,
     stat = float(sample_stat(state.ema_params, jax.random.key(2), nm, em))
     assert np.isfinite(stat), f"non-finite sampling stat {stat}"
 
+    # Sequence parallelism ACROSS hosts: a (data, seq) mesh whose ``seq``
+    # axis pairs device i of host 0 with device i of host 1, so every
+    # EGNN all_gather/psum_scatter in the SP forward AND backward crosses
+    # the process (DCN) boundary. One train step; its loss must match the
+    # single-device loss on the same batch + key.
+    from geoldm_tpu.nn.core import sp_spec
+    from geoldm_tpu.parallel.sp import SEQ_AXIS
+
+    sp_devices = np.asarray(jax.devices()).reshape(n_hosts, devices_per_host).T
+    sp_mesh = Mesh(sp_devices, (DATA_AXIS, SEQ_AXIS))
+    sp_bsh = NamedSharding(sp_mesh, P(DATA_AXIS))
+    sp_repl = NamedSharding(sp_mesh, P())
+    state_sp, tx_sp = create_train_state(jax.random.key(0), cfg, tc)
+    state_sp = state_sp._replace(
+        params=jax.device_put(state_sp.params, sp_repl),
+        ema_params=jax.device_put(state_sp.ema_params, sp_repl),
+        opt_state=jax.device_put(state_sp.opt_state, sp_repl),
+        step=jax.device_put(state_sp.step, sp_repl),
+    )
+    # With the seq axis crossing processes, every data-shard has a device
+    # in BOTH processes, so each process's local contribution is the full
+    # batch (replicated over its seq coordinate).
+    sp_batch = {
+        k: jax.make_array_from_process_local_data(sp_bsh, v)
+        for k, v in batch_np.items()
+    }
+    sp_step = jax.jit(make_train_step(cfg, tc, tx_sp, compute_dtype=sp_spec(sp_mesh)))
+    _, sp_metrics = sp_step(state_sp, sp_batch, jax.random.fold_in(key, 0))
+    sp_loss = float(sp_metrics["loss"])
+    sp_err = abs(sp_loss - loss1)
+    assert sp_err < 1e-3 * max(1.0, abs(loss1)), (sp_loss, loss1)
+
     print(f"[p{pid}] mesh {n_hosts}x{devices_per_host} loss={loss:.4f} "
-          f"single-device loss={loss1:.4f} sample_stat={stat:.2f}", flush=True)
+          f"single-device loss={loss1:.4f} sample_stat={stat:.2f} "
+          f"cross-host-SP loss={sp_loss:.4f}", flush=True)
     err = abs(loss - loss1) if steps == 1 else 0.0
     assert err < 1e-3 * max(1.0, abs(loss1)), (loss, loss1)
     if pid == 0:
         print(f"multihost ok: hosts={n_hosts} devices={n_global} "
               f"loss={loss:.4f} dp_vs_single_err={err:.2e} "
-              f"sample_stat={stat:.2f}", flush=True)
+              f"sample_stat={stat:.2f} "
+              f"sp_xhost(dp{devices_per_host}xsp{n_hosts})_err={sp_err:.2e}",
+              flush=True)
 
 
 def _scrubbed_env(devices_per_host: int) -> dict:

@@ -57,15 +57,46 @@ def fabricate_qm9(datadir: str, counts: dict, n_max: int = 29, seed: int = 0) ->
         )
 
 
+def fabricate_geom(datadir: str, n_mols: int, seed: int = 0) -> str:
+    """One conformer npy in the build_geom_dataset layout
+    ([total_atoms, 5]: mol_id, atomic_number, xyz), sizes drawn from the
+    real GEOM n_nodes histogram. load_split_data carves 10%/10%
+    valid/test from it, so ``n_mols`` = 10x the wanted split size."""
+    from geoldm_tpu.data.datasets_config import get_dataset_info
+    from geoldm_tpu.models.distributions import DistributionNodes
+
+    info = get_dataset_info("geom")
+    nodes_dist = DistributionNodes(info.n_nodes)
+    rng = np.random.default_rng(seed)
+    sizes = nodes_dist.sample(n_mols, rng)
+    atomic = np.asarray(info.atomic_numbers, dtype=float)
+    total = int(sizes.sum())
+    out = np.empty((total, 5), dtype=np.float64)
+    row = 0
+    for mid, n in enumerate(sizes):
+        out[row:row + n, 0] = mid
+        out[row:row + n, 1] = rng.choice(atomic, size=n)
+        out[row:row + n, 2:] = rng.standard_normal((n, 3)) * 2.0
+        row += n
+    os.makedirs(datadir, exist_ok=True)
+    path = os.path.join(datadir, "geom_drugs_30.npy")
+    np.save(path, out)
+    return path
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n_samples", type=int, default=10_000)
+    p.add_argument("--dataset", type=str, default="qm9", choices=["qm9", "geom"])
     p.add_argument("--dtype", type=str, default="bfloat16_mixed")
     p.add_argument("--batch", type=int, default=250)
     p.add_argument("--workdir", type=str, default="/tmp/eval10k")
     p.add_argument("--train_split", type=int, default=2000,
                    help="fabricated train-split size (only feeds the novelty "
                         "cache; reference uses 100k)")
+    p.add_argument("--geom_mols", type=int, default=100_000,
+                   help="fabricated GEOM conformer count; valid/test are 10% "
+                        "each (reference extracts ~292k molecules)")
     args = p.parse_args()
 
     import jax
@@ -85,16 +116,26 @@ def main() -> None:
     datadir = os.path.join(workdir, "data")
     os.makedirs(model_path, exist_ok=True)
 
-    print("# fabricating QM9 splits at reference sizes ...", file=sys.stderr)
-    fabricate_qm9(
-        datadir,
-        {"train": args.train_split, "valid": 17_748, "test": 13_083},
-    )
-
-    info = get_dataset_info("qm9")
-    cfg = factory.make_latent_diffusion_config(
-        info, nf=256, n_layers=9, latent_nf=1, diffusion_steps=1000
-    )
+    if args.dataset == "geom":
+        print(f"# fabricating {args.geom_mols} GEOM conformers ...",
+              file=sys.stderr)
+        fabricate_geom(datadir, args.geom_mols)
+        info = get_dataset_info("geom")
+        # GEOM-Drugs recipe (reference README.md:30).
+        cfg = factory.make_latent_diffusion_config(
+            info, nf=256, n_layers=4, latent_nf=2, diffusion_steps=1000,
+            include_charges=False,
+        )
+    else:
+        print("# fabricating QM9 splits at reference sizes ...", file=sys.stderr)
+        fabricate_qm9(
+            datadir,
+            {"train": args.train_split, "valid": 17_748, "test": 13_083},
+        )
+        info = get_dataset_info("qm9")
+        cfg = factory.make_latent_diffusion_config(
+            info, nf=256, n_layers=9, latent_nf=1, diffusion_steps=1000
+        )
     params = factory.init_params(jax.random.key(0), cfg)
     ckpt.save_checkpoint(
         model_path, {"params": params, "ema_params": params}, cfg, name="best"
@@ -106,6 +147,7 @@ def main() -> None:
         "--n_samples", str(args.n_samples),
         "--batch_size_gen", str(args.batch),
         "--datadir", datadir,
+        "--dataset", args.dataset,
         "--compute_dtype", args.dtype,
     ])
     total = time.time() - t0
@@ -114,7 +156,7 @@ def main() -> None:
         log = f.read()
     print("# eval_log.txt:\n" + log, file=sys.stderr)
     result = {
-        "metric": "qm9_eval10k_wall_minutes",
+        "metric": f"{args.dataset}_eval10k_wall_minutes",
         "value": round(total / 60.0, 2),
         "unit": "min",
         "vs_target_10min": round(total / 600.0, 3),

@@ -141,3 +141,55 @@ def test_build_geom_dataset_cli(tmp_path):
     assert len(_np.unique(arr[:, 0])) == 6  # 3 molecules x 2 conformers
     smiles = (tmp_path / "geom" / "geom_drugs_smiles.txt").read_text().split()
     assert smiles == [f"SMILES_{i}" for i in range(3)]
+
+
+def test_eval_analyze_geom_nll(tmp_path):
+    """eval_analyze --dataset geom: the NLL phase loads GEOM conformer
+    splits (split_dict stacking) and produces finite val/test NLLs — the
+    reference evaluates whatever dataset the checkpoint trained on, so the
+    GEOM branch must work end to end."""
+    from geoldm_tpu.cli import eval_analyze
+    from geoldm_tpu.data import geom as geom_mod
+
+    # Small fabricated conformer file in the build_geom_dataset layout.
+    rng = np.random.default_rng(0)
+    rows = []
+    for mid in range(60):
+        n = int(rng.integers(5, 30))
+        z = rng.choice([1, 6, 7, 8, 16], size=n).astype(float)
+        rows.append(np.hstack([
+            np.full((n, 1), mid, dtype=float), z[:, None],
+            rng.standard_normal((n, 3)) * 2,
+        ]))
+    np.save(tmp_path / "geom_drugs_30.npy", np.vstack(rows))
+
+    geom_info = get_dataset_info("geom")
+    cfg = factory.make_latent_diffusion_config(
+        geom_info, nf=16, n_layers=1, latent_nf=2, diffusion_steps=6,
+        include_charges=False,
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    model_path = str(tmp_path / "geom_gen")
+    ckpt.save_checkpoint(model_path, {"params": params, "ema_params": params},
+                         cfg, name="best")
+
+    eval_analyze.main([
+        "--model_path", model_path,
+        "--n_samples", "4",
+        "--batch_size_gen", "4",
+        "--batch_size_nll", "4",
+        "--dataset", "geom",
+        "--datadir", str(tmp_path),
+        "--n_test_passes", "1",
+    ])
+    log = (tmp_path / "geom_gen" / "eval_log.txt").read_text()
+    assert "nll_test" in log
+    nll_lines = [l for l in log.splitlines() if l.startswith("nll_")]
+    for l in nll_lines:
+        assert np.isfinite(float(l.split()[1])), l
+
+    # split_dict invariants: one-hot rows sum to 1 on real atoms.
+    _, val_l, _ = geom_mod.load_split_data(str(tmp_path / "geom_drugs_30.npy"))
+    d = geom_mod.split_dict(val_l, geom_info)
+    mask = (np.arange(d["positions"].shape[1])[None] < d["num_atoms"][:, None])
+    np.testing.assert_allclose(d["one_hot"].sum(-1), mask.astype(np.float32))
