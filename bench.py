@@ -176,13 +176,13 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
         model_kw = dict(nf=256, n_layers=4, latent_nf=2, diffusion_steps=steps)
         total = int(os.environ.get("GEOLDM_BENCH_GEOM_TOTAL", "250"))
         buckets = (184,) if flat else sampling_mod.GEOM_SAMPLE_BUCKETS
-        train_bs, train_pad = 32, 184
+        train_bs_default, train_pad = 32, 184
     else:
         info = get_dataset_info("qm9")
         model_kw = dict(nf=256, n_layers=9, latent_nf=1, diffusion_steps=steps)
         total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
         buckets = (32,) if flat else (16, 24, 32)
-        train_bs, train_pad = 64, 32
+        train_bs_default, train_pad = 64, 32
     if os.environ.get("GEOLDM_BENCH_BUCKETS"):
         buckets = tuple(
             int(b) for b in os.environ["GEOLDM_BENCH_BUCKETS"].split(",")
@@ -196,6 +196,11 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
     # row-tiled kernels; both with fused in-kernel backward (1.79x / 1.73x
     # the XLA+remat step respectively on v5e).
     train_dtype = os.environ.get("GEOLDM_BENCH_TRAIN_DTYPE", "pallas")
+    train_bs = os.environ.get("GEOLDM_BENCH_TRAIN_BS")
+    if train_bs:
+        train_bs = int(train_bs)
+    else:
+        train_bs = train_bs_default
     train_model_cfg = factory.make_latent_diffusion_config(
         info, trainable_ae=True, remat="pallas" not in train_dtype, **model_kw
     )
