@@ -44,6 +44,12 @@ Env knobs:
                       XLA path with remat)
   GEOLDM_BENCH_DATASET both (default) | qm9 | geom — restrict to one
                       recipe (single-recipe runs keep the flat key layout)
+  GEOLDM_BENCH_BUCKETS  comma-separated bucket override for sweeps — applies
+                      to EVERY recipe that runs (use with a single-recipe
+                      GEOLDM_BENCH_DATASET); overridden runs are labeled
+                      with "buckets_override" in the JSON
+  GEOLDM_BENCH_TRAIN_BS  train-step batch-size override (same caveat;
+                      labeled "train_bs_override")
   GEOLDM_BENCH_NO_CACHE  set to 1 to disable the persistent compile cache
 """
 
@@ -183,10 +189,14 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
         total = int(os.environ.get("GEOLDM_BENCH_TOTAL", "1000"))
         buckets = (32,) if flat else (16, 24, 32)
         train_bs_default, train_pad = 64, 32
-    if os.environ.get("GEOLDM_BENCH_BUCKETS"):
+    buckets_override = bool(os.environ.get("GEOLDM_BENCH_BUCKETS"))
+    if buckets_override:
         buckets = tuple(
             int(b) for b in os.environ["GEOLDM_BENCH_BUCKETS"].split(",")
         )
+        print(f"# [{dataset}] BUCKET OVERRIDE via GEOLDM_BENCH_BUCKETS: "
+              f"{buckets} — not comparable to default-bucket rounds",
+              file=sys.stderr)
     cfg = factory.make_latent_diffusion_config(info, **model_kw)
     # Training benches the flagship recipe with the fused Pallas fwd+bwd
     # kernel by default (1.4x the XLA grad path on v5e, and its backward
@@ -262,6 +272,10 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
         "sample_median_mol_per_sec": round(total / median * (steps / 1000.0), 3),
         "compile_warmup_s": round(compile_time, 1),
     }
+    if buckets_override:
+        metrics["buckets_override"] = list(buckets)
+    if os.environ.get("GEOLDM_BENCH_TRAIN_BS"):
+        metrics["train_bs_override"] = train_bs
     if bench_train:
         steps_per_sec, ms_per_step, train_mfu = _bench_train(
             train_model_cfg, info, train_bs, train_pad, device_kind, train_dtype

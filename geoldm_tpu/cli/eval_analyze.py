@@ -29,6 +29,9 @@ def parse_args(argv=None):
                         "with batch at unaligned pad (362s at 250 vs 6s at "
                         "64 on v5e through the remote-compile tunnel)")
     p.add_argument("--dataset", type=str, default="qm9")
+    p.add_argument("--conformation_file", type=str, default="geom_drugs_30.npy",
+                   help="GEOM conformer npy under --datadir (e.g. "
+                        "geom_drugs_1.npy for --conformations 1 builds)")
     p.add_argument("--datadir", type=str, default="data")
     p.add_argument("--remove_h", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="float32")
@@ -109,10 +112,7 @@ def main(argv=None) -> None:
             # npy + fixed permutation, stacked into the packed layout.
             from geoldm_tpu.data import geom as geom_mod
 
-            conf = os.path.join(
-                args.datadir, getattr(args, "conformation_file",
-                                      "geom_drugs_30.npy"),
-            )
+            conf = os.path.join(args.datadir, args.conformation_file)
             _, val_l, test_l = geom_mod.load_split_data(conf)
             splits = {
                 "valid": geom_mod.split_dict(val_l, dataset_info),

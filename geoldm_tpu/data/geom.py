@@ -244,13 +244,17 @@ def split_dict(
     n = stored_n or (int(num_atoms.max()) if m else 0)
     positions = np.zeros((m, n, 3), dtype=np.float32)
     one_hot = np.zeros((m, n, len(atomic)), dtype=np.float32)
+    # Charges stay ZERO: GeomLoader._make_batch feeds h_int = zeros during
+    # GEOM training (atomic numbers are never a model input there), so an
+    # include_charges=True GEOM checkpoint must be evaluated on the same
+    # convention — filling atomic numbers here would silently shift the
+    # NLL input distribution.
     charges = np.zeros((m, n), dtype=np.float32)
     for i, mol in enumerate(data_list):
         k = mol.shape[0]
         types = mol[:, 0].astype(np.int64)
         positions[i, :k] = mol[:, 1:4]
         one_hot[i, :k] = (types[:, None] == atomic[None, :]).astype(np.float32)
-        charges[i, :k] = types
     return {
         "num_atoms": num_atoms,
         "positions": positions,

@@ -313,18 +313,23 @@ def evaluate_nll_packed(
         # nothing and dividing 0/0).
         return [0.0] * n_passes
 
-    means = []
-    for i in range(n_passes):
+    # Segments outer, passes inner: each segment is transferred host->device
+    # exactly ONCE and reused by every pass (the whole point of the packed
+    # path); the per-pass keys are pre-split so the RNG stream matches the
+    # passes-outer order.
+    pass_keys = []
+    for _ in range(n_passes):
         key, sub = jax.random.split(key)
-        total = 0.0
-        for s0 in range(0, steps, seg_steps):
-            seg = tuple(jnp.asarray(a[s0:s0 + seg_steps]) for a in data_np)
-            total += float(
-                run_segment(params, seg, sub, jnp.asarray(s0, jnp.int32))
-            )
-        val = total / max(m, 1)
+        pass_keys.append(sub)
+    totals = [0.0] * n_passes
+    for s0 in range(0, steps, seg_steps):
+        seg = tuple(jnp.asarray(a[s0:s0 + seg_steps]) for a in data_np)
+        off = jnp.asarray(s0, jnp.int32)
+        for i in range(n_passes):
+            totals[i] += float(run_segment(params, seg, pass_keys[i], off))
+    means = [t / max(m, 1) for t in totals]
+    for i, val in enumerate(means):
         print(f"{partition}[{i}] NLL: {val:.4f}")
-        means.append(val)
     return means
 
 
@@ -354,9 +359,12 @@ def analyze_and_save(
     # bucket boundary, cutting the O(N^2) edge work (~2x on QM9, ~1.5x on
     # GEOM vs coarse buckets — buckets are matched per dataset).
     max_n = pad_nodes or dataset_info["max_n_nodes"]
+    # Top bucket is 8-aligned (GEOM's 181 -> 184): unaligned N forces
+    # relayouts on TPU; masks carry the real size so outputs are identical.
+    top = -(-max_n // 8) * 8
     buckets = tuple(
-        b for b in sampling_mod.default_buckets(dataset_info) if b < max_n
-    ) + (max_n,)
+        b for b in sampling_mod.default_buckets(dataset_info) if b < top
+    ) + (top,)
     t0 = time.time()
     one_hot, charges, x, node_mask = sampling_mod.sample_bucketed(
         model_cfg, params, key, dataset_info, nodesxsample,

@@ -303,6 +303,9 @@ def run_seed(seed: int, batches, args, results):
 
 def write_report(results, args, elapsed, out_path):
     k = 50
+    # Seeds come from the RESULTS (not argv): --report_only on a saved JSON
+    # must label columns by the seeds that actually ran.
+    seeds = [r["seed"] for r in results["loss"]]
 
     def win_means(hist):
         a = np.array(hist)
@@ -315,7 +318,7 @@ def write_report(results, args, elapsed, out_path):
         f"denoiser {LAYERS} EGNN blocks), nf={NF}, latent_nf={LATENT_NF}, "
         f"T={T_DIFF}, polynomial_2, l2 — the flagship model *kind* at the",
         "largest width this host's single CPU core can train in-budget.",
-        f"{len(args.seeds)} seeds per side; a seed pair shares its initial",
+        f"{len(seeds)} seeds per side; a seed pair shares its initial",
         "weights (torch init transferred to JAX) and its batch sequence",
         "(methane/water/ammonia templates with random rotations); per-step",
         "diffusion randomness is independent per side. Between-seed spread",
@@ -328,9 +331,9 @@ def write_report(results, args, elapsed, out_path):
         "## Loss trajectory (mean over 50-step windows, per seed)",
         "",
         "| steps | " + " | ".join(
-            f"torch s{s} | jax s{s}" for s in args.seeds
+            f"torch s{s} | jax s{s}" for s in seeds
         ) + " | pooled ratio jax/torch |",
-        "|" + "---|" * (2 * len(args.seeds) + 2),
+        "|" + "---|" * (2 * len(seeds) + 2),
     ]
     wt_all, wj_all = [], []
     for r in results["loss"]:
@@ -451,7 +454,7 @@ def write_report(results, args, elapsed, out_path):
         "",
         f"Reproduce: `JAX_PLATFORMS=cpu python scripts/parity_train_ab_ldm.py "
         f"--steps {args.steps} --n_eval {args.n_eval} "
-        f"--seeds {' '.join(str(s) for s in args.seeds)}`",
+        f"--seeds {' '.join(str(s) for s in seeds)}`",
         "",
         "## Appendix: v1 (round 2) small-VDM A/B",
         "",
