@@ -21,13 +21,25 @@ def main(argv=None) -> None:
     p.add_argument("--remove_h", action="store_true")
     p.add_argument("--data_dir", type=str, default="data/geom")
     p.add_argument("--data_file", type=str, default="drugs_crude.msgpack")
+    p.add_argument("--no_native", action="store_true",
+                   help="force the Python extractor (default: use the "
+                        "streaming C++ extractor when it builds; identical "
+                        "outputs, parity-tested)")
     args = p.parse_args(argv)
 
+    from geoldm_tpu.data import native_geom
     from geoldm_tpu.data.geom import extract_conformers
 
-    out = extract_conformers(
-        args.data_dir, args.data_file, args.conformations, args.remove_h
-    )
+    if not args.no_native and native_geom.available():
+        out = native_geom.extract_conformers_native(
+            args.data_dir, args.data_file, args.conformations, args.remove_h
+        )
+    else:
+        if not args.no_native:
+            print("native extractor unavailable; using the Python path")
+        out = extract_conformers(
+            args.data_dir, args.data_file, args.conformations, args.remove_h
+        )
     print(f"wrote {out}")
 
 

@@ -58,7 +58,9 @@ def extract_conformers(
             all_smiles.append(smiles)
             conformers = info["conformers"]
             energies = np.array([c["totalenergy"] for c in conformers])
-            for idx in np.argsort(energies)[:conformations]:
+            # kind="stable": ties keep original order, so the native C++
+            # extractor (std::stable_sort) produces byte-identical output.
+            for idx in np.argsort(energies, kind="stable")[:conformations]:
                 coords = np.array(conformers[idx]["xyz"], dtype=float)  # n x 4
                 if remove_h:
                     coords = coords[coords[:, 0] != 1.0]
