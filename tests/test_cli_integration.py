@@ -243,6 +243,39 @@ def test_main_geom_drugs_sp_training(tmp_path):
     assert nlls and np.isfinite(nlls[-1])
 
 
+def test_main_qm9_learned_schedule_vlb(tmp_path):
+    """--diffusion_noise_schedule learned --diffusion_loss_type vlb through
+    the full CLI: the GammaNetwork trains inside the fused step and the
+    sampler runs with the learned schedule (reference allows learned only
+    with vlb, en_diffusion.py:269-271)."""
+    from geoldm_tpu.cli import main_qm9
+
+    _fake_qm9(tmp_path)
+    outdir = tmp_path / "out"
+    main_qm9.main([
+        "--exp_name", "learned_smoke",
+        "--datadir", str(tmp_path),
+        "--outdir", str(outdir),
+        "--train_diffusion", "--trainable_ae",
+        "--diffusion_noise_schedule", "learned",
+        "--diffusion_loss_type", "vlb",
+        "--n_epochs", "1",
+        "--test_epochs", "1",
+        "--batch_size", "8",
+        "--nf", "16",
+        "--n_layers", "1",
+        "--diffusion_steps", "6",
+        "--n_stability_samples", "8",
+        "--no_wandb",
+        "--break_train_epoch", "True",
+        "--save_model", "False",
+    ])
+    metrics_file = outdir / "learned_smoke" / "metrics.jsonl"
+    rows = [json.loads(l) for l in metrics_file.read_text().splitlines()]
+    nlls = [r["nll_val"] for r in rows if "nll_val" in r]
+    assert nlls and np.isfinite(nlls[-1])
+
+
 def test_main_qm9_second_half_with_visualize(tmp_path):
     """qm9_second_half protocol (norms from the valid split) + the
     visualize-at-test-epoch branch (chain gif + molecule grid)."""
