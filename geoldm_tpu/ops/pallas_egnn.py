@@ -360,6 +360,17 @@ def _auto_group(b: int, n: int, hidden: int, itemsize: int = 4) -> int:
     return 1
 
 
+def _bwd_rows_budget(n: int, hidden: int) -> int:
+    """Max pair rows the fused whole-molecule BACKWARD fits in the raised
+    scoped-VMEM limit (measured ~17KB/row live on v5e; see _auto_group_bwd)."""
+    max_rows = max(256, int(RAISED_SCOPED_VMEM_KIB * 0.95) * 1024 // (17 * 1024))
+    if hidden > 256:
+        max_rows = max_rows * 256 // hidden
+    if n % 8 != 0:
+        max_rows //= 2
+    return max_rows
+
+
 def _auto_group_bwd(b: int, n: int, hidden: int) -> int:
     """Group size for the fused backward kernel. The in-kernel vjp keeps
     forward residuals AND edge-sized cotangents live in VMEM (~4x the
@@ -370,11 +381,7 @@ def _auto_group_bwd(b: int, n: int, hidden: int) -> int:
     tpuflags.grad_compiler_options() (a train step compiled without it
     fails with a scoped-VMEM OOM naming this kernel)."""
     padded_n = -(-n // 8) * 8
-    max_rows = max(256, int(RAISED_SCOPED_VMEM_KIB * 0.95) * 1024 // (17 * 1024))
-    if hidden > 256:
-        max_rows = max_rows * 256 // hidden
-    if n % 8 != 0:
-        max_rows //= 2
+    max_rows = _bwd_rows_budget(n, hidden)
     for g in (8, 4, 2, 1):
         if b % g == 0 and g * padded_n * padded_n <= max_rows:
             return g
@@ -578,18 +585,34 @@ def egnn_apply_pallas(
     to the row-tiled kernels (ops/pallas_egnn_tiled.py) automatically."""
     from geoldm_tpu.nn.core import linear
 
+    if bwd_mode is None:
+        bwd_mode = os.environ.get("GEOLDM_PALLAS_BWD", "pallas")
+
     n = h.shape[1]
     padded_n = -(-n // 8) * 8
-    if group is None and padded_n * padded_n > 4096 * 4 // _edge_itemsize(compute_dtype):
+    fwd_overflow = (
+        padded_n * padded_n > 4096 * 4 // _edge_itemsize(compute_dtype)
+    )
+    # The fused whole-molecule BACKWARD has a ~4x larger live set than the
+    # forward; at the boundary (e.g. N=64: 4096 pair rows fit the forward
+    # budget exactly, but 4096 * ~17KB = ~70MB overflows the raised 64MB
+    # scoped limit even at group=1) it must route to the row-tiled kernels
+    # or training compiles die in Mosaic's stack allocator. Whether the
+    # caller will differentiate is unknowable at trace time, so boundary
+    # sizes route to tiled for forward-only callers too (costs only the
+    # non-default pallas sampling path at those buckets; pass bwd_mode=
+    # 'xla' to keep the whole-molecule forward there).
+    bwd_overflow = (
+        bwd_mode == "pallas"
+        and padded_n * padded_n > _bwd_rows_budget(n, cfg.hidden_nf)
+    )
+    if group is None and (fwd_overflow or bwd_overflow):
         from geoldm_tpu.ops.pallas_egnn_tiled import egnn_apply_pallas_tiled
 
         return egnn_apply_pallas_tiled(
             params, cfg, h, x, node_mask, compute_dtype, interpret,
             bwd_mode=bwd_mode,
         )
-
-    if bwd_mode is None:
-        bwd_mode = os.environ.get("GEOLDM_PALLAS_BWD", "pallas")
 
     x0 = x
     h = linear(params["embedding"], h, compute_dtype)

@@ -119,3 +119,40 @@ def test_pallas_fused_bwd_input_grads(sin_emb, inv_sublayers):
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gx_pal), np.asarray(gx_xla),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_bwd_overflow_routes_to_tiled(monkeypatch):
+    """Backward-budget dispatch at the boundary size. N=64 (4096 pair rows)
+    fits the whole-molecule FORWARD budget exactly, but the fused backward's
+    live set (~17KB/row * 4096 ~= 70MB) overflows the raised 64MB scoped-VMEM
+    limit even at group=1 — such sizes must route to the row-tiled kernels.
+    Regression: a GEOM bucketed train step at pad 64 died in Mosaic's stack
+    allocator ("Scoped allocation with size 71.59M ... exceeded")."""
+    from geoldm_tpu.ops import pallas_egnn_tiled
+
+    cfg = cfg_of(n_layers=1)
+    params = egnn_init(jax.random.key(0), cfg)
+    h, x, node_mask = make_inputs(jax.random.key(1), b=1, n=64, n_real=(50,))
+
+    calls = []
+    real = pallas_egnn_tiled.egnn_apply_pallas_tiled
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_egnn_tiled, "egnn_apply_pallas_tiled", spy)
+
+    h_pal, x_pal = egnn_apply_pallas(params, cfg, h, x, node_mask, interpret=True)
+    assert calls, "pad-64 with a pallas backward must dispatch to the tiled path"
+
+    edge_mask = build_edge_mask(node_mask)
+    h_ref, x_ref = egnn_apply(params, cfg, h, x, node_mask, edge_mask)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref), atol=3e-5)
+
+    # With bwd_mode='xla' only the forward budget applies: the whole-molecule
+    # kernel keeps this size (no tiled dispatch).
+    calls.clear()
+    egnn_apply_pallas(params, cfg, h, x, node_mask, interpret=True, bwd_mode="xla")
+    assert not calls, "xla-backward callers keep the whole-molecule kernel at N=64"
