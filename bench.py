@@ -51,6 +51,11 @@ Env knobs:
   GEOLDM_BENCH_TRAIN_BS  train-step batch-size override (same caveat;
                       labeled "train_bs_override")
   GEOLDM_BENCH_NO_CACHE  set to 1 to disable the persistent compile cache
+  GEOLDM_BENCH_TRAIN_BUCKETED  set to 0 to skip the GEOM bucketed-training
+                      throughput sweep (train step timed at every loader
+                      bucket pad, histogram-weighted into an effective
+                      mol/s — the steady-state GeomLoader epoch rate,
+                      vs the worst-bucket device_ms_per_step)
 """
 
 from __future__ import annotations
@@ -75,17 +80,13 @@ def _bucket_pads(nodesxsample: np.ndarray, buckets) -> np.ndarray:
     return np.array(buckets)[np.searchsorted(buckets, nodesxsample)]
 
 
-def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
-                 compute_dtype: str = "float32"):
-    """Time the flagship jitted train step (bs x pad, trainable_ae)."""
+def _train_bench_setup(cfg, compute_dtype: str):
+    """Shared state/step/compiler-options setup for the train benches."""
     import jax
-    import jax.numpy as jnp
 
     from geoldm_tpu.config import TrainConfig
     from geoldm_tpu.nn.core import resolve_compute
     from geoldm_tpu.train import train_step as ts
-    from geoldm_tpu.utils import flops as flops_mod
-
     from geoldm_tpu.utils.tpuflags import train_step_compiler_options
 
     train_cfg = TrainConfig(compute_dtype=compute_dtype)
@@ -95,18 +96,58 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
     # per-compile so the sampling programs in this same process keep the
     # default (a global raise measured the sampler 25% slower).
     opts = train_step_compiler_options(compute_dtype)
-    step_fn = jax.jit(ts.make_train_step(cfg, train_cfg, tx, spec),
-                      compiler_options=opts)
+    raw_step = ts.make_train_step(cfg, train_cfg, tx, spec)
+    return state, raw_step, opts
+
+
+def _train_batch_at(info, b: int, n: int):
+    """Synthetic device batch for the train step at (bs, pad)."""
+    import jax.numpy as jnp
 
     from geoldm_tpu.data.synthetic import synthetic_batch
     from geoldm_tpu.models.distributions import DistributionNodes
 
-    b, n = train_batch_size, pad
     batch_np = synthetic_batch(info, b, pad_nodes=n, rng=np.random.default_rng(0))
     batch_np["log_pN"] = DistributionNodes(info.n_nodes).log_prob(
         batch_np.pop("n_atoms")
     ).astype(np.float32)
-    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    return {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+
+def _train_device_ms(state, raw_step, opts, batch, n_steps: int = 30) -> float:
+    """Device ms/step: K steps scanned inside ONE jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, compiler_options=opts)
+    def multi_step(state, batch, key):
+        def body(st, i):
+            st, m = raw_step(st, batch, jax.random.fold_in(key, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+    key = jax.random.key(1)
+    state2, _ = multi_step(state, batch, key)
+    jax.block_until_ready(state2.params)
+    t0 = time.perf_counter()
+    state2, _ = multi_step(state, batch, key)
+    jax.block_until_ready(state2.params)
+    return 1000.0 * (time.perf_counter() - t0) / n_steps
+
+
+def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
+                 compute_dtype: str = "float32"):
+    """Time the flagship jitted train step (bs x pad, trainable_ae)."""
+    import jax
+
+    from geoldm_tpu.utils import flops as flops_mod
+
+    state, raw_step, opts = _train_bench_setup(cfg, compute_dtype)
+    step_fn = jax.jit(raw_step, compiler_options=opts)
+
+    b, n = train_batch_size, pad
+    batch = _train_batch_at(info, b, n)
 
     key = jax.random.key(1)
     t0 = time.perf_counter()
@@ -125,25 +166,9 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
     print(f"# train host-loop: {host_ms:.1f} ms/step (incl. dispatch)", file=sys.stderr)
 
     # Device time: K steps scanned inside ONE jitted program — no dispatch.
-    raw_step = ts.make_train_step(cfg, train_cfg, tx, spec)
-
-    @functools.partial(jax.jit, compiler_options=opts)
-    def multi_step(state, batch, key):
-        def body(st, i):
-            st, m = raw_step(st, batch, jax.random.fold_in(key, i))
-            return st, m["loss"]
-
-        return jax.lax.scan(body, state, jnp.arange(n_steps))
-
-    state2, _ = multi_step(state, batch, key)
-    jax.block_until_ready(state2.params)
-    t0 = time.perf_counter()
-    state2, _ = multi_step(state, batch, key)
-    jax.block_until_ready(state2.params)
-    elapsed = time.perf_counter() - t0
-
+    ms_per_step = _train_device_ms(state, raw_step, opts, batch, n_steps)
+    elapsed = ms_per_step * n_steps / 1000.0
     steps_per_sec = n_steps / elapsed
-    ms_per_step = 1000.0 * elapsed / n_steps
     step_flops = b * flops_mod.train_step_flops(cfg, n)
     train_mfu = flops_mod.mfu(step_flops * n_steps, elapsed, device_kind)
     print(
@@ -152,6 +177,67 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
         file=sys.stderr,
     )
     return steps_per_sec, ms_per_step, train_mfu
+
+
+def _bench_train_bucketed(cfg, info, train_batch_size: int, device_kind: str,
+                          compute_dtype: str, flat_ms: float) -> dict:
+    """Effective GEOM training throughput with the size-bucketed loader.
+
+    GEOM training batches are size-bucketed (data/geom.py GeomLoader), so
+    the steady-state epoch runs a handful of static shapes — the pad-184
+    device_ms_per_step above is only the WORST bucket. This times the train
+    step at every loader bucket and weights by the dataset size histogram
+    (GEOM median molecule is 46 atoms: 96% of molecules land in buckets
+    <=64, where the step is far cheaper than at 184). The reference pads
+    dynamically to the batch max (build_geom_dataset.py collate), which at
+    bs 32 lands near the tail almost every batch — bucketing is the
+    TPU-native win over both that and flat padding."""
+    from geoldm_tpu.data.geom import DEFAULT_BUCKETS
+
+    sizes = np.array(sorted(info.n_nodes))
+    counts = np.array([info.n_nodes[s] for s in sizes], dtype=np.float64)
+    frac = counts / counts.sum()
+
+    max_n = info.max_n_nodes
+    covering = [bkt for bkt in sorted(set(DEFAULT_BUCKETS)) if bkt < max_n]
+    top = min((bkt for bkt in sorted(set(DEFAULT_BUCKETS)) if bkt >= max_n),
+              default=-(-max_n // 8) * 8)
+    buckets = tuple(covering) + (top,)
+
+    state, raw_step, opts = _train_bench_setup(cfg, compute_dtype)
+    b = train_batch_size
+    per_bucket_ms = {}
+    eff_s_per_mol = 0.0
+    prev = 0
+    for pad in buckets:
+        share = float(frac[(sizes > prev) & (sizes <= pad)].sum())
+        prev = pad
+        if share <= 0.0:
+            continue
+        if pad == buckets[-1] and flat_ms is not None:
+            ms = flat_ms  # already measured by the flat train bench
+        else:
+            t0 = time.perf_counter()
+            ms = _train_device_ms(state, raw_step, opts, _train_batch_at(info, b, pad))
+            print(f"# bucketed train pad {pad}: {ms:.1f} ms/step "
+                  f"(share {share:.3f}, compile+measure {time.perf_counter() - t0:.1f}s)",
+                  file=sys.stderr)
+        per_bucket_ms[pad] = round(ms, 2)
+        eff_s_per_mol += share * (ms / 1000.0) / b
+
+    mol_per_sec = 1.0 / eff_s_per_mol
+    flat_mol_per_sec = b / (flat_ms / 1000.0) if flat_ms else None
+    out = {
+        "mol_per_sec": round(mol_per_sec, 2),
+        "per_bucket_ms": per_bucket_ms,
+        "train_bs": b,
+    }
+    if flat_mol_per_sec:
+        out["vs_flat_pad"] = round(mol_per_sec / flat_mol_per_sec, 2)
+    print(f"# bucketed train effective: {mol_per_sec:.1f} mol/s "
+          f"(flat pad-{buckets[-1]}: {flat_mol_per_sec and round(flat_mol_per_sec, 1)} mol/s)",
+          file=sys.stderr)
+    return out
 
 
 def _bench_recipe(dataset: str, device_kind: str) -> dict:
@@ -286,6 +372,12 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
             train_mfu=None if train_mfu is None else round(train_mfu, 4),
             train_dtype=train_dtype,
         )
+        if (dataset == "geom"
+                and os.environ.get("GEOLDM_BENCH_TRAIN_BUCKETED", "1") == "1"):
+            metrics["train_bucketed"] = _bench_train_bucketed(
+                train_model_cfg, info, train_bs, device_kind, train_dtype,
+                ms_per_step,
+            )
     return metrics
 
 
