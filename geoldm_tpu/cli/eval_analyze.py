@@ -45,6 +45,14 @@ def parse_args(argv=None):
                         "for models trained with it)")
     p.add_argument("--dp", type=int, default=1,
                    help="shard generation over this many devices")
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="few-step DDIM-family sampling: number of reverse "
+                        "jumps (default: the model's full T; beyond the "
+                        "reference protocol — label results accordingly)")
+    p.add_argument("--eta", type=float, default=1.0,
+                   help="stochasticity of the strided sampler (1.0 = "
+                        "ancestral posterior noise, 0.0 = deterministic "
+                        "DDIM); only used with --n_steps")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -94,6 +102,7 @@ def main(argv=None) -> None:
         n_samples=args.n_samples, batch_size=args.batch_size_gen,
         compute_dtype=compute_dtype,
         rng=rng, mesh=mesh, datadir=args.datadir,
+        n_steps=args.n_steps, eta=args.eta,
     )
     elapsed = time.time() - t0
     n_done = len(molecules["x"])

@@ -23,6 +23,10 @@ def parse_args(argv=None):
     p.add_argument("--remove_h", action="store_true")
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--use_ema", type=eval, default=True)
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="few-step DDIM-family sampling for the molecule "
+                        "grid and stable set (chains always run dense)")
+    p.add_argument("--eta", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -61,7 +65,8 @@ def main(argv=None) -> None:
     key, k1 = jax.random.split(key)
     nodesxsample = nodes_dist.sample(args.n_samples, rng)
     one_hot, charges, x, node_mask = sampling_mod.sample(
-        model_cfg, params, k1, dataset_info, nodesxsample
+        model_cfg, params, k1, dataset_info, nodesxsample,
+        n_steps=args.n_steps, eta=args.eta,
     )
     grid_dir = os.path.join(outdir, "molecules")
     viz.save_xyz_file(grid_dir, one_hot, charges, x, dataset_info,
@@ -79,7 +84,8 @@ def main(argv=None) -> None:
         key, k2 = jax.random.split(key)
         nodesxsample = nodes_dist.sample(args.n_samples, rng)
         one_hot, charges, x, node_mask = sampling_mod.sample(
-            model_cfg, params, k2, dataset_info, nodesxsample
+            model_cfg, params, k2, dataset_info, nodesxsample,
+            n_steps=args.n_steps, eta=args.eta,
         )
         for i in range(len(x)):
             n = int(node_mask[i, :, 0].sum())

@@ -141,14 +141,17 @@ def ldm_sample(
     context: Optional[Array] = None,
     fix_noise: bool = False,
     compute_dtype=None,
+    n_steps: Optional[int] = None,
+    eta: float = 1.0,
 ):
     """Diffuse in latent space, then decode with the VAE.
 
-    reference: en_diffusion.py:1194-1204."""
+    ``n_steps``/``eta`` select the strided DDIM-family sampler (see
+    vdm.vdm_sample). reference: en_diffusion.py:1194-1204."""
     k_diff, _ = jax.random.split(key)
     z_x, z_cat, z_int = vdm.vdm_sample(
         params, cfg, dyn_cfg, k_diff, node_mask, edge_mask, context, fix_noise,
-        compute_dtype, latent_space=True,
+        compute_dtype, latent_space=True, n_steps=n_steps, eta=eta,
     )
     z_xh = jnp.concatenate([z_x, z_cat, z_int], axis=2)
     return vae_mod.decode(

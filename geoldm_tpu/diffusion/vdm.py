@@ -456,6 +456,52 @@ def sample_p_zs_given_zt(
     return zs
 
 
+def sample_p_zs_given_zt_ddim(
+    params, cfg, dyn_cfg, gamma_fn, key, s, t, zt, node_mask, edge_mask, context,
+    eta=0.0, fix_noise=False, compute_dtype=None,
+):
+    """Generalized reverse jump z_t -> z_s for ANY s < t (DDIM family).
+
+    Song et al., "Denoising Diffusion Implicit Models" (ICLR 2021) eq. 12 in
+    the VDM gamma parameterization: predict x from eps, then re-noise to
+    level s with stochasticity ``eta``. eta=1 is algebraically identical to
+    the exact ancestral posterior step ``sample_p_zs_given_zt`` (proof:
+    sigma_s^2 - sigma~^2 = alpha_{t|s}^2 sigma_s^4 / sigma_t^2, matching the
+    ancestral eps coefficient); eta=0 is the deterministic probability-flow
+    jump. Beyond the reference, which only steps t -> t-1/T
+    (en_diffusion.py:716-747) — this enables T-independent few-step
+    sampling (``n_steps`` in ``vdm_sample``).
+    """
+    gamma_s = gamma_fn(s)
+    gamma_t = gamma_fn(t)
+    _, sigma_t_given_s, _ = S.sigma_and_alpha_t_given_s(gamma_t, gamma_s, zt.ndim)
+    alpha_s = S.alpha(gamma_s, zt.ndim)
+    sigma_s = S.sigma(gamma_s, zt.ndim)
+    sigma_t = S.sigma(gamma_t, zt.ndim)
+
+    eps_t = dynamics_apply(
+        params["dynamics"], dyn_cfg, t, zt, node_mask, edge_mask, context,
+        compute_dtype,
+    )
+    x_pred = compute_x_pred(cfg, eps_t, zt, gamma_t)
+
+    # Noise split: eta scales the ancestral posterior std; the remaining
+    # variance rides the predicted eps direction so Var(z_s) stays sigma_s^2.
+    sigma_tilde = eta * (sigma_t_given_s * sigma_s / sigma_t)
+    dir_coef = jnp.sqrt(jnp.clip(sigma_s**2 - sigma_tilde**2, 0.0, None))
+    mu = alpha_s * x_pred + dir_coef * eps_t
+
+    zs = sample_normal(key, mu, sigma_tilde, node_mask, cfg.n_dims, cfg.in_node_nf, fix_noise)
+    zs = jnp.concatenate(
+        [
+            com.remove_mean_with_mask(zs[:, :, : cfg.n_dims], node_mask),
+            zs[:, :, cfg.n_dims :],
+        ],
+        axis=2,
+    )
+    return zs
+
+
 def sample_p_xh_given_z0(
     params, cfg, dyn_cfg, gamma_fn, key, z0, node_mask, edge_mask, context,
     fix_noise=False, compute_dtype=None, latent_space=False,
@@ -506,12 +552,21 @@ def vdm_sample(
     compute_dtype=None,
     latent_space: bool = False,
     keep_frames: Optional[int] = None,
+    n_steps: Optional[int] = None,
+    eta: float = 1.0,
 ):
     """Full reverse-diffusion sampling as one scanned, jittable program.
 
     Returns (x, h_cat, h_int) and, if keep_frames is set, a chain tensor
     [keep_frames, B, N, D] of intermediate (raw latent-space) states written
     like the reference's sample_chain (reference: en_diffusion.py:762-838).
+
+    ``n_steps`` (default: cfg.timesteps) runs the strided DDIM-family
+    sampler over an integer sub-grid of the T training timesteps with
+    stochasticity ``eta`` (1.0 = ancestral posterior noise per jump, 0.0 =
+    deterministic) — few-step sampling beyond the reference's fixed-T
+    Python loop. With n_steps == T and eta == 1.0 this is the dense
+    ancestral sampler (same program as the defaults).
     """
     gamma_fn = make_gamma_fn(cfg, params)
     b = node_mask.shape[0]
@@ -529,27 +584,17 @@ def vdm_sample(
         )
 
     T = cfg.timesteps
+    K = T if n_steps is None else int(n_steps)
+    if not 1 <= K <= T:
+        raise ValueError(f"n_steps must be in [1, {T}], got {K}")
+    # Explicit n_steps (even == T) selects the strided machinery so its
+    # K == T case stays directly comparable against the dense path in tests.
+    strided = n_steps is not None or eta != 1.0
     want_chain = keep_frames is not None
+    if strided and want_chain:
+        raise ValueError("chain visualization requires the dense sampler "
+                         "(n_steps=None, eta=1.0)")
     n_frames = keep_frames if want_chain else 1
-
-    def make_step(step_dtype):
-        def step(z, inp):
-            s_idx, k = inp
-            s_arr = jnp.full((b, 1), s_idx, dtype=jnp.float32) / T
-            t_arr = jnp.full((b, 1), s_idx + 1, dtype=jnp.float32) / T
-            z = sample_p_zs_given_zt(
-                params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z, node_mask,
-                edge_mask, context, fix_noise, step_dtype,
-            )
-            if want_chain:
-                frame = unnormalize_z(cfg, z, node_mask) if not latent_space else z
-                return z, frame
-            return z, None
-
-        return step
-
-    s_indices = jnp.arange(T - 1, -1, -1)
-    step_keys = jax.random.split(k_scan, T)
 
     # Mixed-precision schedule: under a ``full`` low-precision ComputeSpec
     # with mixed_tail > 0, the final fraction of steps (and the decode) run
@@ -557,19 +602,72 @@ def vdm_sample(
     from geoldm_tpu.nn.core import resolve_compute
 
     spec = resolve_compute(compute_dtype)
-    tail = int(round(spec.mixed_tail * T)) if (spec.full and not want_chain) else 0
-    if tail > 0:
-        head = T - tail
-        z, frames = jax.lax.scan(
-            make_step(spec), z, (s_indices[:head], step_keys[:head])
-        )
-        z, _ = jax.lax.scan(
-            make_step(None), z, (s_indices[head:], step_keys[head:])
-        )
-        compute_dtype_final = None
+
+    if strided:
+        # Integer sub-grid tau_0=T > ... > tau_K=0 (strictly decreasing for
+        # K <= T since consecutive gaps are >= floor(T/K) >= 1).
+        tau = [((K - k) * T) // K for k in range(K + 1)]
+        t_vals = jnp.asarray(tau[:-1], dtype=jnp.float32) / T
+        s_vals = jnp.asarray(tau[1:], dtype=jnp.float32) / T
+
+        def make_jump(step_dtype):
+            def step(z, inp):
+                s_v, t_v, k = inp
+                s_arr = jnp.full((b, 1), s_v, dtype=jnp.float32)
+                t_arr = jnp.full((b, 1), t_v, dtype=jnp.float32)
+                z = sample_p_zs_given_zt_ddim(
+                    params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z,
+                    node_mask, edge_mask, context, eta, fix_noise, step_dtype,
+                )
+                return z, None
+
+            return step
+
+        xs = (s_vals, t_vals, jax.random.split(k_scan, K))
+        tail = int(round(spec.mixed_tail * K)) if spec.full else 0
+        if tail > 0:
+            head = K - tail
+            z, _ = jax.lax.scan(make_jump(spec), z, tuple(a[:head] for a in xs))
+            z, _ = jax.lax.scan(make_jump(None), z, tuple(a[head:] for a in xs))
+            compute_dtype_final = None
+        else:
+            z, _ = jax.lax.scan(make_jump(compute_dtype), z, xs)
+            compute_dtype_final = compute_dtype
+        frames = None
     else:
-        z, frames = jax.lax.scan(make_step(compute_dtype), z, (s_indices, step_keys))
-        compute_dtype_final = compute_dtype
+
+        def make_step(step_dtype):
+            def step(z, inp):
+                s_idx, k = inp
+                s_arr = jnp.full((b, 1), s_idx, dtype=jnp.float32) / T
+                t_arr = jnp.full((b, 1), s_idx + 1, dtype=jnp.float32) / T
+                z = sample_p_zs_given_zt(
+                    params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z, node_mask,
+                    edge_mask, context, fix_noise, step_dtype,
+                )
+                if want_chain:
+                    frame = unnormalize_z(cfg, z, node_mask) if not latent_space else z
+                    return z, frame
+                return z, None
+
+            return step
+
+        s_indices = jnp.arange(T - 1, -1, -1)
+        step_keys = jax.random.split(k_scan, T)
+
+        tail = int(round(spec.mixed_tail * T)) if (spec.full and not want_chain) else 0
+        if tail > 0:
+            head = T - tail
+            z, frames = jax.lax.scan(
+                make_step(spec), z, (s_indices[:head], step_keys[:head])
+            )
+            z, _ = jax.lax.scan(
+                make_step(None), z, (s_indices[head:], step_keys[head:])
+            )
+            compute_dtype_final = None
+        else:
+            z, frames = jax.lax.scan(make_step(compute_dtype), z, (s_indices, step_keys))
+            compute_dtype_final = compute_dtype
 
     x, h_cat, h_int = sample_p_xh_given_z0(
         params, cfg, dyn_cfg, gamma_fn, k_final, z, node_mask, edge_mask, context,

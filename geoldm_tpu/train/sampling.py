@@ -43,11 +43,13 @@ def rotate_chain(z: np.ndarray, n_steps: int = 30) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str]):
+def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str],
+                    n_steps: Optional[int] = None, eta: float = 1.0):
     from geoldm_tpu.nn.core import resolve_compute
 
     spec = resolve_compute(compute_dtype_name)
-    fn = factory.model_sample_fn(model_cfg, compute_dtype=spec)
+    fn = factory.model_sample_fn(model_cfg, compute_dtype=spec,
+                                 n_steps=n_steps, eta=eta)
     return jax.jit(fn, static_argnames=("fix_noise",))
 
 
@@ -65,6 +67,8 @@ def sample(
     rng: Optional[np.random.Generator] = None,
     mesh=None,
     as_numpy: bool = True,
+    n_steps: Optional[int] = None,
+    eta: float = 1.0,
 ):
     """Generate molecules with the requested atom counts.
 
@@ -116,7 +120,7 @@ def sample(
         if context_dev is not None:
             context_dev = jax.device_put(context_dev, shd.batch_sharding(mesh))
 
-    sampler = _jitted_sampler(model_cfg, compute_dtype)
+    sampler = _jitted_sampler(model_cfg, compute_dtype, n_steps, eta)
     x, h_cat, h_int = sampler(
         params, key, node_mask_dev, edge_mask_dev,
         context_dev, fix_noise=fix_noise,
@@ -160,6 +164,8 @@ def sample_bucketed(
     compute_dtype: Optional[str] = None,
     rng: Optional[np.random.Generator] = None,
     mesh=None,
+    n_steps: Optional[int] = None,
+    eta: float = 1.0,
 ):
     """Size-bucketed generation: molecules are grouped by atom count and each
     group is padded only to its bucket boundary, cutting the O(N^2) edge work
@@ -212,7 +218,7 @@ def sample_bucketed(
             res = sample(
                 model_cfg, params, sub, dataset_info, sizes, prop_dist=prop_dist,
                 fix_noise=fix_noise, pad_nodes=pad, compute_dtype=compute_dtype,
-                rng=rng, mesh=mesh, as_numpy=False,
+                rng=rng, mesh=mesh, as_numpy=False, n_steps=n_steps, eta=eta,
             )
             pending.append((chunk, pad, n_real, res))
     # All chunks are dispatched before any device->host sync: jax's async

@@ -65,7 +65,7 @@ def test_eval_sample_cli(tmp_path):
     eval_sample.main([
         "--model_path", gen, "--outdir", out,
         "--n_samples", "4", "--n_stable", "1", "--n_chains", "1",
-        "--keep_frames", "3", "--n_tries", "1",
+        "--keep_frames", "3", "--n_tries", "1", "--n_steps", "3",
     ])
     assert os.path.isdir(os.path.join(out, "molecules"))
     assert any(f.endswith(".gif") for f in os.listdir(os.path.join(out, "chain_0")))

@@ -176,3 +176,19 @@ def test_sample_bucketed():
     np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-3)
     # One-hot valid on real nodes.
     np.testing.assert_allclose(one_hot.sum(-1) * node_mask[..., 0], node_mask[..., 0])
+
+
+def test_sample_bucketed_few_step():
+    """Bucketed generation composes with the strided DDIM sampler."""
+    cfg = tiny_cfg()
+    params = factory.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    nodesxsample = np.array([5, 12, 20, 7])
+    one_hot, charges, x, node_mask = S.sample_bucketed(
+        cfg, params, jax.random.key(1), INFO, nodesxsample, batch_size=4,
+        buckets=(8, 16, 29), rng=rng, n_steps=3, eta=0.0,
+    )
+    np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
+    assert np.all(np.isfinite(x))
+    assert np.abs(x * (1 - node_mask)).max() == 0.0
+    np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-3)
