@@ -51,6 +51,11 @@ Env knobs:
   GEOLDM_BENCH_TRAIN_BS  train-step batch-size override (same caveat;
                       labeled "train_bs_override")
   GEOLDM_BENCH_NO_CACHE  set to 1 to disable the persistent compile cache
+  GEOLDM_BENCH_DDIM   set to 0 to skip the labeled few-step DDIM sampling
+                      measurement (QM9 only; raw mol/s at
+                      GEOLDM_BENCH_DDIM_STEPS strided jumps, default 50 —
+                      reported under "fewstep_ddim", never mixed into the
+                      T=1000 headline)
   GEOLDM_BENCH_TRAIN_BUCKETED  set to 0 to skip the GEOM bucketed-training
                       throughput sweep (train step timed at every loader
                       bucket pad, histogram-weighted into an effective
@@ -358,6 +363,41 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
         "sample_median_mol_per_sec": round(total / median * (steps / 1000.0), 3),
         "compile_warmup_s": round(compile_time, 1),
     }
+
+    # Few-step DDIM sampling (beyond the reference's fixed-T protocol):
+    # same workload, K strided reverse jumps instead of T. Reported RAW
+    # (not T=1000-normalized) under its own key — a different algorithm,
+    # never mixed into the headline. QM9 only by default (GEOM's 6-bucket
+    # compile isn't worth the driver time each round).
+    ddim_steps = int(os.environ.get("GEOLDM_BENCH_DDIM_STEPS", "50"))
+    if (dataset == "qm9" and 0 < ddim_steps < steps
+            and os.environ.get("GEOLDM_BENCH_DDIM", "1") == "1"):
+        def generate_fewstep(key, nodesxsample):
+            return sampling_mod.sample_bucketed(
+                cfg, params, key, info, nodesxsample, batch_size=batch,
+                buckets=buckets, compute_dtype=dtype_name,
+                rng=np.random.default_rng(0), n_steps=ddim_steps, eta=1.0,
+            )
+
+        t0 = time.perf_counter()
+        generate_fewstep(jax.random.key(1), nodesxsample)
+        ddim_compile = time.perf_counter() - t0
+        ddim_times = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            out = generate_fewstep(jax.random.key(2 + r), nodesxsample)
+            jax.block_until_ready(out[0])
+            ddim_times.append(time.perf_counter() - t0)
+        ddim_rate = total / min(ddim_times)
+        print(f"# [{dataset}] few-step DDIM n_steps={ddim_steps}: "
+              f"{ddim_rate:.1f} mol/s raw ({ddim_rate / mol_per_sec:.1f}x the "
+              f"dense T={steps} sampler; compile {ddim_compile:.1f}s)",
+              file=sys.stderr)
+        metrics["fewstep_ddim"] = {
+            "n_steps": ddim_steps,
+            "mol_per_sec_raw": round(ddim_rate, 3),
+            "speedup_vs_dense": round(ddim_rate / mol_per_sec, 2),
+        }
     if buckets_override:
         metrics["buckets_override"] = list(buckets)
     if os.environ.get("GEOLDM_BENCH_TRAIN_BS"):
