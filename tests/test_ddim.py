@@ -37,6 +37,7 @@ def masked_batch(b=3, n=9, n_real=(5, 9, 7)):
     return node_mask, build_edge_mask(node_mask)
 
 
+@pytest.mark.slow
 def test_ddim_step_eta1_matches_ancestral():
     """One eta=1 generalized jump over a single grid cell is algebraically
     the exact ancestral step (same key -> same noise -> equal outputs)."""
@@ -106,7 +107,12 @@ def test_ddim_step_eta0_ignores_key():
     np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
 
 
-@pytest.mark.parametrize("n_steps,eta", [(4, 0.0), (4, 1.0), (1, 0.0), (7, 0.5)])
+@pytest.mark.parametrize("n_steps,eta", [
+    (4, 0.0),
+    pytest.param(4, 1.0, marks=pytest.mark.slow),
+    pytest.param(1, 0.0, marks=pytest.mark.slow),
+    pytest.param(7, 0.5, marks=pytest.mark.slow),
+])
 def test_few_step_sample_invariants(n_steps, eta):
     """Few-step sampling keeps the sampler invariants: masked padding stays
     zero, coordinates are CoM-centered, one-hot decode is valid."""
@@ -125,6 +131,7 @@ def test_few_step_sample_invariants(n_steps, eta):
     assert np.all(np.isin(np.asarray(h_cat), [0.0, 1.0]))
 
 
+@pytest.mark.slow
 def test_few_step_ldm_through_factory():
     """The latent model's decode path composes with the strided sampler via
     model_sample_fn (the closure used by train/sampling.py)."""
@@ -163,6 +170,7 @@ def test_strided_rejects_bad_args():
                        node_mask, edge_mask, n_steps=4, keep_frames=3)
 
 
+@pytest.mark.slow
 def test_few_step_mixed_precision_tail():
     """The bfloat16_mixed tail schedule applies to the strided scan too."""
     cfg = tiny_model()

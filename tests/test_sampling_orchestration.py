@@ -178,6 +178,7 @@ def test_sample_bucketed():
     np.testing.assert_allclose(one_hot.sum(-1) * node_mask[..., 0], node_mask[..., 0])
 
 
+@pytest.mark.slow
 def test_sample_bucketed_few_step():
     """Bucketed generation composes with the strided DDIM sampler."""
     cfg = tiny_cfg()
