@@ -53,6 +53,11 @@ def parse_args(argv=None):
                    help="stochasticity of the strided sampler (1.0 = "
                         "ancestral posterior noise, 0.0 = deterministic "
                         "DDIM); only used with --n_steps")
+    p.add_argument("--novelty_smiles", type=str, default=None,
+                   help="path to a text file of SMILES (one per line) to "
+                        "use as the novelty base instead of the training "
+                        "set (no-RDKit fallback backend only; entries are "
+                        "re-canonicalized with the built-in writer)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -96,6 +101,13 @@ def main(argv=None) -> None:
     # "float32" and None identically; None keeps call sites uniform).
     compute_dtype = None if args.compute_dtype == "float32" else args.compute_dtype
 
+    external_smiles = None
+    if args.novelty_smiles:
+        with open(args.novelty_smiles) as f:
+            external_smiles = [ln.strip() for ln in f if ln.strip()]
+        print(f"novelty base: {len(external_smiles)} external SMILES from "
+              f"{args.novelty_smiles}")
+
     t0 = time.time()
     validity, rdkit_tuple, molecules = trainer_mod.analyze_and_save(
         model_cfg, params, key, dataset_info, nodes_dist,
@@ -103,6 +115,7 @@ def main(argv=None) -> None:
         compute_dtype=compute_dtype,
         rng=rng, mesh=mesh, datadir=args.datadir,
         n_steps=args.n_steps, eta=args.eta,
+        external_smiles=external_smiles,
     )
     elapsed = time.time() - t0
     n_done = len(molecules["x"])

@@ -68,7 +68,8 @@ def _warn_fallback_once() -> None:
     if not _FALLBACK_WARNED:
         print(
             "rdkit not installed: validity/uniqueness/novelty use the "
-            "pure-python valence-based fallback (WL graph keys)."
+            "pure-python valence-based fallback (canonical SMILES from "
+            "the built-in writer)."
         )
         _FALLBACK_WARNED = True
 
@@ -78,11 +79,14 @@ def analyze_stability_for_molecules(
     dataset_info,
     use_rdkit: Optional[bool] = None,
     datadir: str = "data",
+    external_smiles=None,
 ) -> Tuple[Dict[str, float], Optional[tuple]]:
     """Aggregate stability (+ optional RDKit validity/uniqueness/novelty).
 
     molecule_list: dict with 'x' [M,N,3], 'one_hot' [M,N,S],
-    'node_mask' [M,N] or [M,N,1]. reference: qm9/analyze.py:323-371."""
+    'node_mask' [M,N] or [M,N,1]. external_smiles: optional SMILES list to
+    use as the novelty base instead of the training set (fallback backend
+    only). reference: qm9/analyze.py:323-371."""
     x = np.asarray(molecule_list["x"])
     one_hot = np.asarray(molecule_list["one_hot"])
     node_mask = np.asarray(molecule_list["node_mask"]).reshape(len(x), -1)
@@ -129,7 +133,8 @@ def analyze_stability_for_molecules(
     if use_rdkit is True:
         metrics = rm.BasicMolecularMetrics(dataset_info, datadir=datadir)
     else:
-        metrics = rm.make_molecular_metrics(dataset_info, datadir=datadir)
+        metrics = rm.make_molecular_metrics(dataset_info, datadir=datadir,
+                                            external_smiles=external_smiles)
         if metrics.source != "rdkit":
             _warn_fallback_once()
     return validity_dict, metrics.evaluate(processed)

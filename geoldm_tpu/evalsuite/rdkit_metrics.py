@@ -5,9 +5,13 @@ RDKit is an optional dependency (guarded import, like the reference's
 qm9/analyze.py:1-6). When absent, ``FallbackMolecularMetrics`` provides the
 same triple from the bond-inference tables alone: validity = no atom exceeds
 its maximum allowed valence (RDKit's sanitize failure mode), and molecule
-identity = a Weisfeiler-Lehman hash of the inferred bond graph instead of a
-canonical SMILES. The fallback triple is comparable run-to-run but not
-numerically identical to RDKit's (aromaticity/charge perception are absent).
+identity = a canonical SMILES produced by the pure-python writer in
+evalsuite/smiles.py (standard, readable strings — any toolkit can parse
+them, and external SMILES lists can be re-canonicalized with the same
+writer for novelty comparison). The fallback triple is still not
+numerically identical to RDKit's (no aromaticity/charge perception during
+bond inference), but its identity representation is now interoperable
+rather than an opaque hash.
 
 reference: qm9/rdkit_functions.py:76-188 (BasicMolecularMetrics,
 build_molecule / build_xae_molecule), :11-67 (training-set SMILES cache).
@@ -126,7 +130,8 @@ def retrieve_qm9_smiles(dataset_info, datadir: str = "data", cache_dir: str = "d
 
 class _MolecularMetricsBase:
     """Shared uniqueness/novelty/evaluate over molecule identity strings
-    (canonical SMILES for the RDKit path, WL graph keys for the fallback).
+    (RDKit canonical SMILES for the RDKit path, the built-in writer's
+    canonical SMILES for the fallback).
 
     reference: qm9/rdkit_functions.py:102-133."""
 
@@ -240,10 +245,10 @@ def _connected_components(adj: np.ndarray) -> List[np.ndarray]:
     return comps
 
 
-def molecule_graph_key(positions, atom_types, dataset_info) -> Optional[str]:
-    """(key_of_largest_fragment, over_valence_ok) for one molecule; returns
-    None when any atom exceeds its maximum allowed valence — mirroring
-    RDKit sanitize's failure mode (under-valence = radical, sanitizes fine)."""
+def _largest_valid_fragment(positions, atom_types, dataset_info):
+    """(symbols, sym_orders) of the largest fragment, or None when any atom
+    exceeds its maximum allowed valence — mirroring RDKit sanitize's
+    failure mode (under-valence = radical, sanitizes fine)."""
     x, a, e = build_xae_molecule(positions, atom_types, dataset_info)
     sym = e + e.T
     nr_bonds = sym.sum(axis=1)
@@ -256,11 +261,34 @@ def molecule_graph_key(positions, atom_types, dataset_info) -> Optional[str]:
     comps = _connected_components(adj)
     largest = max(comps, key=len)
     syms = [decoder[int(t)] for t in x[largest]]
-    return graph_canonical_key(syms, sym[np.ix_(largest, largest)])
+    return syms, sym[np.ix_(largest, largest)]
 
 
-def compute_dataset_graph_keys(dataset_info, datadir: str) -> List[str]:
-    """WL graph keys of the training set, for fallback novelty (the
+def molecule_graph_key(positions, atom_types, dataset_info) -> Optional[str]:
+    """WL-hash identity of the largest valid fragment (legacy fallback key;
+    superseded by molecule_fallback_smiles but kept as the cheap
+    cross-check that the SMILES identity partitions molecules the same)."""
+    frag = _largest_valid_fragment(positions, atom_types, dataset_info)
+    if frag is None:
+        return None
+    return graph_canonical_key(*frag)
+
+
+def molecule_fallback_smiles(positions, atom_types, dataset_info) -> Optional[str]:
+    """Canonical SMILES (pure-python writer, evalsuite/smiles.py) of the
+    largest valid fragment; None when over-valent. Unlike the WL hash this
+    identity string is standard, readable, and comparable to external
+    SMILES after smiles.recanonicalize."""
+    from geoldm_tpu.evalsuite import smiles as sm
+
+    frag = _largest_valid_fragment(positions, atom_types, dataset_info)
+    if frag is None:
+        return None
+    return sm.canonical_smiles(*frag)
+
+
+def compute_dataset_fallback_smiles(dataset_info, datadir: str) -> List[str]:
+    """Canonical fallback SMILES of the training set, for novelty (the
     rdkit-free analogue of compute_dataset_smiles)."""
     from geoldm_tpu.data.qm9 import load_qm9
 
@@ -272,57 +300,94 @@ def compute_dataset_graph_keys(dataset_info, datadir: str) -> List[str]:
         n = int(train["num_atoms"][i])
         pos = train["positions"][i, :n]
         types = np.argmax(train["one_hot"][i, :n], axis=-1)
-        k = molecule_graph_key(pos, types, dataset_info)
+        k = molecule_fallback_smiles(pos, types, dataset_info)
         if k is not None:
             keys.append(k)
     return keys
 
 
-def retrieve_qm9_graph_keys(dataset_info, datadir: str = "data", cache_dir: str = "data/cache"):
-    """Cached training-set graph keys (fallback analogue of
+def retrieve_qm9_fallback_smiles(dataset_info, datadir: str = "data",
+                                 cache_dir: str = "data/cache"):
+    """Cached training-set fallback SMILES (fallback analogue of
     retrieve_qm9_smiles)."""
     suffix = "" if dataset_info["with_h"] else "_noH"
-    path = os.path.join(cache_dir, f"{dataset_info['name']}{suffix}_graphkeys.pickle")
+    path = os.path.join(cache_dir, f"{dataset_info['name']}{suffix}_fbsmiles.pickle")
     if os.path.exists(path):
         with open(path, "rb") as f:
             return pickle.load(f)
     os.makedirs(cache_dir, exist_ok=True)
-    keys = compute_dataset_graph_keys(dataset_info, datadir)
+    keys = compute_dataset_fallback_smiles(dataset_info, datadir)
     with open(path, "wb") as f:
         pickle.dump(keys, f)
     return keys
 
 
+def canonicalize_external_smiles(smiles_list: Sequence[str]):
+    """Re-canonicalize an externally produced SMILES list (e.g. RDKit
+    canonical strings from a published artifact) into this module's
+    fallback form so it can serve as the novelty base. Returns
+    (canonical_list, n_unsupported); entries using SMILES features outside
+    the supported subset (stereo, isotopes, fragments) are counted and
+    skipped rather than silently mis-parsed."""
+    from geoldm_tpu.evalsuite import smiles as sm
+
+    out, skipped = [], 0
+    for s in smiles_list:
+        try:
+            out.append(sm.recanonicalize(s))
+        except sm.SmilesError:
+            skipped += 1
+    return out, skipped
+
+
 class FallbackMolecularMetrics(_MolecularMetricsBase):
     """RDKit-free validity/uniqueness/novelty from the bond-inference tables.
 
-    Validity: no atom exceeds its max allowed valence. Identity: WL hash of
-    the largest fragment's bond graph. Same evaluate() contract as
-    BasicMolecularMetrics."""
+    Validity: no atom exceeds its max allowed valence. Identity: canonical
+    SMILES of the largest fragment (pure-python writer — standard strings,
+    parseable by any toolkit; permutation-invariant like RDKit's). Same
+    evaluate() contract as BasicMolecularMetrics.
+
+    The novelty base is the training set by default; pass
+    ``external_smiles`` (a list of SMILES strings from any source) to score
+    novelty against an external artifact instead — entries are
+    re-canonicalized with the same writer so comparison is on equal terms."""
 
     source = "valence-fallback"
 
-    def __init__(self, dataset_info, dataset_keys_list=None, datadir: str = "data"):
+    def __init__(self, dataset_info, dataset_keys_list=None, datadir: str = "data",
+                 external_smiles: Optional[Sequence[str]] = None):
         self.dataset_info = dataset_info
         self.dataset_smiles_list = dataset_keys_list
-        if dataset_keys_list is None and "qm9" in dataset_info["name"]:
+        if external_smiles is not None:
+            canon, skipped = canonicalize_external_smiles(external_smiles)
+            if skipped:
+                print(f"[fallback-metrics] novelty base: skipped {skipped}/"
+                      f"{len(external_smiles)} external SMILES outside the "
+                      f"supported subset")
+            self.dataset_smiles_list = canon
+        elif dataset_keys_list is None and "qm9" in dataset_info["name"]:
             try:
-                self.dataset_smiles_list = retrieve_qm9_graph_keys(dataset_info, datadir)
+                self.dataset_smiles_list = retrieve_qm9_fallback_smiles(
+                    dataset_info, datadir)
             except Exception:
                 self.dataset_smiles_list = None
 
     def compute_validity(self, generated: Sequence[tuple]):
         valid = []
         for positions, atom_types in generated:
-            key = molecule_graph_key(positions, atom_types, self.dataset_info)
+            key = molecule_fallback_smiles(positions, atom_types, self.dataset_info)
             if key is not None:
                 valid.append(key)
         return valid, len(valid) / len(generated)
 
 
-def make_molecular_metrics(dataset_info, datadir: str = "data"):
+def make_molecular_metrics(dataset_info, datadir: str = "data",
+                           external_smiles: Optional[Sequence[str]] = None):
     """BasicMolecularMetrics when RDKit is installed, else the pure-python
-    fallback (so eval always reports a validity triple)."""
+    fallback (so eval always reports a validity triple). external_smiles
+    (fallback path only) replaces the training set as the novelty base."""
     if RDKIT_AVAILABLE:
         return BasicMolecularMetrics(dataset_info, datadir=datadir)
-    return FallbackMolecularMetrics(dataset_info, datadir=datadir)
+    return FallbackMolecularMetrics(dataset_info, datadir=datadir,
+                                    external_smiles=external_smiles)

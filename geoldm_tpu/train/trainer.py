@@ -350,6 +350,7 @@ def analyze_and_save(
     datadir: str = "data",
     n_steps: Optional[int] = None,
     eta: float = 1.0,
+    external_smiles=None,
 ):
     """Generate n_samples molecules and compute stability (+rdkit) metrics.
 
@@ -380,7 +381,7 @@ def analyze_and_save(
     molecules = {"one_hot": one_hot, "x": x, "node_mask": node_mask[..., 0]}
     t0 = time.time()
     validity_dict, rdkit_tuple = analyze_stability_for_molecules(
-        molecules, dataset_info, datadir=datadir
+        molecules, dataset_info, datadir=datadir, external_smiles=external_smiles
     )
     print(f"  [analyze_and_save] generation {t_gen:.1f}s, "
           f"analysis {time.time() - t0:.1f}s for {n_samples} molecules")

@@ -169,14 +169,38 @@ def test_stub_sanitize_rejects_overvalence(rm_with_stub):
 def test_fallback_metrics_triple():
     from geoldm_tpu.evalsuite import rdkit_metrics as rm
 
-    train_key = rm.molecule_graph_key(*WATER, INFO)
-    assert train_key is not None
+    train_key = rm.molecule_fallback_smiles(*WATER, INFO)
+    assert train_key == "[H][O][H]"  # readable canonical SMILES, not a hash
     metrics = rm.FallbackMolecularMetrics(INFO, dataset_keys_list=[train_key])
     assert metrics.source == "valence-fallback"
     (validity, uniqueness, novelty), unique = metrics.evaluate(GENERATED)
     assert validity == pytest.approx(3 / 4)
     assert uniqueness == pytest.approx(2 / 3)
     assert novelty == pytest.approx(1 / 2)
+
+
+def test_fallback_metrics_external_novelty_base():
+    """An externally supplied SMILES list (standard implicit-H form) is
+    re-canonicalized and used as the novelty base: water written as the
+    bare-atom string 'O' must match our geometry-derived water."""
+    from geoldm_tpu.evalsuite import rdkit_metrics as rm
+
+    metrics = rm.FallbackMolecularMetrics(INFO, external_smiles=["O"])
+    (validity, uniqueness, novelty), unique = metrics.evaluate(GENERATED)
+    assert validity == pytest.approx(3 / 4)
+    assert novelty == pytest.approx(1 / 2)  # H2 novel, water known
+
+
+def test_fallback_smiles_matches_graph_key_partition():
+    """The SMILES identity partitions molecules exactly like the WL keys."""
+    from geoldm_tpu.evalsuite import rdkit_metrics as rm
+
+    mols = [WATER, WATER_PERM, H2]
+    smiles = [rm.molecule_fallback_smiles(*m, INFO) for m in mols]
+    keys = [rm.molecule_graph_key(*m, INFO) for m in mols]
+    same_s = [[a == b for a in smiles] for b in smiles]
+    same_k = [[a == b for a in keys] for b in keys]
+    assert same_s == same_k
 
 
 def test_fallback_key_invariances():
