@@ -75,6 +75,11 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--augment_noise", type=float, default=0.0)
     p.add_argument("--n_stability_samples", type=int, default=500)
+    p.add_argument("--eval_n_steps", type=int, default=None,
+                   help="few-step DDIM sampling for the PERIODIC in-training "
+                        "stability analysis only (cuts test-epoch wall clock "
+                        "~T/K-fold; final eval_analyze still defaults to the "
+                        "full-T protocol)")
     p.add_argument("--normalize_factors", type=eval, default=[1, 4, 10])
     # Reference defaults diverge: True for QM9 (main_qm9.py:125), False for
     # GEOM (main_geom_drugs.py:121) — a spurious always-zero charge channel
@@ -338,7 +343,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                     model_cfg, eval_params, a_key, dataset_info, nodes_dist,
                     n_samples=args.n_stability_samples, prop_dist=prop_dist,
                     pad_nodes=pad_nodes, compute_dtype=args.compute_dtype,
-                    rng=rng, mesh=mesh,
+                    rng=rng, mesh=mesh, n_steps=args.eval_n_steps,
                 )
                 print(f"epoch {epoch} stability: {validity}")
                 logger.log(validity, step=epoch)

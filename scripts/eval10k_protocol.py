@@ -97,6 +97,11 @@ def main() -> None:
     p.add_argument("--geom_mols", type=int, default=100_000,
                    help="fabricated GEOM conformer count; valid/test are 10% "
                         "each (reference extracts ~292k molecules)")
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="few-step DDIM generation (BEYOND the reference "
+                        "protocol — the output metric is renamed with a "
+                        "_fewstepK suffix so it can never be confused with "
+                        "the T=1000 protocol number)")
     args = p.parse_args()
 
     import jax
@@ -149,14 +154,15 @@ def main() -> None:
         "--datadir", datadir,
         "--dataset", args.dataset,
         "--compute_dtype", args.dtype,
-    ])
+    ] + (["--n_steps", str(args.n_steps)] if args.n_steps else []))
     total = time.time() - t0
 
     with open(os.path.join(model_path, "eval_log.txt")) as f:
         log = f.read()
     print("# eval_log.txt:\n" + log, file=sys.stderr)
+    suffix = f"_fewstep{args.n_steps}" if args.n_steps else ""
     result = {
-        "metric": f"{args.dataset}_eval10k_wall_minutes",
+        "metric": f"{args.dataset}_eval10k_wall_minutes{suffix}",
         "value": round(total / 60.0, 2),
         "unit": "min",
         "vs_target_10min": round(total / 600.0, 3),

@@ -50,6 +50,7 @@ def test_main_qm9_train_and_eval(tmp_path):
         "--n_layers", "1",
         "--diffusion_steps", "6",
         "--n_stability_samples", "8",
+        "--eval_n_steps", "3",
         "--no_wandb",
         "--ema_decay", "0.9",
         "--break_train_epoch", "True",
