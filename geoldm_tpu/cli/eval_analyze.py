@@ -53,6 +53,11 @@ def parse_args(argv=None):
                    help="stochasticity of the strided sampler (1.0 = "
                         "ancestral posterior noise, 0.0 = deterministic "
                         "DDIM); only used with --n_steps")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm2m"],
+                   help="few-step jump rule: ddim (first order, eta "
+                        "stochasticity) or dpm2m (DPM-Solver++ 2M, "
+                        "second-order deterministic)")
     p.add_argument("--novelty_smiles", type=str, default=None,
                    help="path to a text file of SMILES (one per line) to "
                         "use as the novelty base instead of the training "
@@ -114,7 +119,7 @@ def main(argv=None) -> None:
         n_samples=args.n_samples, batch_size=args.batch_size_gen,
         compute_dtype=compute_dtype,
         rng=rng, mesh=mesh, datadir=args.datadir,
-        n_steps=args.n_steps, eta=args.eta,
+        n_steps=args.n_steps, eta=args.eta, method=args.sampler,
         external_smiles=external_smiles,
     )
     elapsed = time.time() - t0

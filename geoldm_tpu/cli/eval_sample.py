@@ -27,6 +27,8 @@ def parse_args(argv=None):
                    help="few-step DDIM-family sampling for the molecule "
                         "grid and stable set (chains always run dense)")
     p.add_argument("--eta", type=float, default=1.0)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm2m"])
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -66,7 +68,7 @@ def main(argv=None) -> None:
     nodesxsample = nodes_dist.sample(args.n_samples, rng)
     one_hot, charges, x, node_mask = sampling_mod.sample(
         model_cfg, params, k1, dataset_info, nodesxsample,
-        n_steps=args.n_steps, eta=args.eta,
+        n_steps=args.n_steps, eta=args.eta, method=args.sampler,
     )
     grid_dir = os.path.join(outdir, "molecules")
     viz.save_xyz_file(grid_dir, one_hot, charges, x, dataset_info,
@@ -85,7 +87,7 @@ def main(argv=None) -> None:
         nodesxsample = nodes_dist.sample(args.n_samples, rng)
         one_hot, charges, x, node_mask = sampling_mod.sample(
             model_cfg, params, k2, dataset_info, nodesxsample,
-            n_steps=args.n_steps, eta=args.eta,
+            n_steps=args.n_steps, eta=args.eta, method=args.sampler,
         )
         for i in range(len(x)):
             n = int(node_mask[i, :, 0].sum())

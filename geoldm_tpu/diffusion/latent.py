@@ -143,15 +143,17 @@ def ldm_sample(
     compute_dtype=None,
     n_steps: Optional[int] = None,
     eta: float = 1.0,
+    method: str = "ddim",
 ):
     """Diffuse in latent space, then decode with the VAE.
 
-    ``n_steps``/``eta`` select the strided DDIM-family sampler (see
+    ``n_steps``/``eta``/``method`` select the strided few-step sampler (see
     vdm.vdm_sample). reference: en_diffusion.py:1194-1204."""
     k_diff, _ = jax.random.split(key)
     z_x, z_cat, z_int = vdm.vdm_sample(
         params, cfg, dyn_cfg, k_diff, node_mask, edge_mask, context, fix_noise,
         compute_dtype, latent_space=True, n_steps=n_steps, eta=eta,
+        method=method,
     )
     z_xh = jnp.concatenate([z_x, z_cat, z_int], axis=2)
     return vae_mod.decode(

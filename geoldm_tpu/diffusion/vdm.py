@@ -554,6 +554,7 @@ def vdm_sample(
     keep_frames: Optional[int] = None,
     n_steps: Optional[int] = None,
     eta: float = 1.0,
+    method: str = "ddim",
 ):
     """Full reverse-diffusion sampling as one scanned, jittable program.
 
@@ -561,13 +562,21 @@ def vdm_sample(
     [keep_frames, B, N, D] of intermediate (raw latent-space) states written
     like the reference's sample_chain (reference: en_diffusion.py:762-838).
 
-    ``n_steps`` (default: cfg.timesteps) runs the strided DDIM-family
-    sampler over an integer sub-grid of the T training timesteps with
-    stochasticity ``eta`` (1.0 = ancestral posterior noise per jump, 0.0 =
-    deterministic) — few-step sampling beyond the reference's fixed-T
-    Python loop. With n_steps == T and eta == 1.0 this is the dense
-    ancestral sampler (same program as the defaults).
+    ``n_steps`` (default: cfg.timesteps) runs the strided few-step sampler
+    over an integer sub-grid of the T training timesteps — beyond the
+    reference's fixed-T Python loop. ``method`` selects the jump rule:
+
+    - "ddim": DDIM family with stochasticity ``eta`` (1.0 = ancestral
+      posterior noise per jump, 0.0 = deterministic first-order
+      probability-flow). With n_steps == T and eta == 1.0 this is the
+      dense ancestral sampler (same program as the defaults).
+    - "dpm2m": DPM-Solver++(2M) (Lu et al. 2022) — deterministic
+      second-order multistep solver in data-prediction form; ``eta`` is
+      ignored. Higher-order accuracy in the half-log-SNR variable
+      lambda = -gamma/2 keeps quality at much smaller K than first order.
     """
+    if method not in ("ddim", "dpm2m"):
+        raise ValueError(f"unknown sampling method {method!r}")
     gamma_fn = make_gamma_fn(cfg, params)
     b = node_mask.shape[0]
     k_init, k_scan, k_final = jax.random.split(key, 3)
@@ -589,7 +598,7 @@ def vdm_sample(
         raise ValueError(f"n_steps must be in [1, {T}], got {K}")
     # Explicit n_steps (even == T) selects the strided machinery so its
     # K == T case stays directly comparable against the dense path in tests.
-    strided = n_steps is not None or eta != 1.0
+    strided = n_steps is not None or eta != 1.0 or method != "ddim"
     want_chain = keep_frames is not None
     if strided and want_chain:
         raise ValueError("chain visualization requires the dense sampler "
@@ -610,29 +619,79 @@ def vdm_sample(
         t_vals = jnp.asarray(tau[:-1], dtype=jnp.float32) / T
         s_vals = jnp.asarray(tau[1:], dtype=jnp.float32) / T
 
-        def make_jump(step_dtype):
-            def step(z, inp):
-                s_v, t_v, k = inp
-                s_arr = jnp.full((b, 1), s_v, dtype=jnp.float32)
-                t_arr = jnp.full((b, 1), t_v, dtype=jnp.float32)
-                z = sample_p_zs_given_zt_ddim(
-                    params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z,
-                    node_mask, edge_mask, context, eta, fix_noise, step_dtype,
-                )
-                return z, None
+        if method == "dpm2m":
+            # DPM-Solver++(2M): carry = (z, x_prev, h_prev, not_first).
+            # Each jump t -> s evaluates x_pred once at level t and linearly
+            # extrapolates x(lambda) through the previous evaluation: with
+            # h = lambda_s - lambda_t and c = h / (2 h_prev),
+            #   D = (1 + c) x_t - c x_prev          (first step: D = x_t)
+            #   z_s = (sigma_s/sigma_t) z - alpha_s * expm1(-h) * D
+            # (c is the first-order moment of the exponential weight over
+            # the current jump, scaled by the backward difference step.)
+            def make_jump(step_dtype):
+                def step(carry, inp):
+                    z, x_prev, h_prev, not_first = carry
+                    s_v, t_v = inp
+                    s_arr = jnp.full((b, 1), s_v, dtype=jnp.float32)
+                    t_arr = jnp.full((b, 1), t_v, dtype=jnp.float32)
+                    gamma_s = gamma_fn(s_arr)
+                    gamma_t = gamma_fn(t_arr)
+                    lam_s = S.inflate(-0.5 * gamma_s, z.ndim)
+                    lam_t = S.inflate(-0.5 * gamma_t, z.ndim)
+                    h = lam_s - lam_t  # > 0: lambda grows as t decreases
+                    eps_t = dynamics_apply(
+                        params["dynamics"], dyn_cfg, t_arr, z, node_mask,
+                        edge_mask, context, step_dtype,
+                    )
+                    x_t = compute_x_pred(cfg, eps_t, z, gamma_t)
+                    c = not_first * (h / (2.0 * h_prev))
+                    d = (1.0 + c) * x_t - c * x_prev
+                    z_s = (S.sigma(gamma_s, z.ndim) / S.sigma(gamma_t, z.ndim)) * z \
+                        - S.alpha(gamma_s, z.ndim) * jnp.expm1(-h) * d
+                    z_s = jnp.concatenate(
+                        [
+                            com.remove_mean_with_mask(
+                                z_s[:, :, : cfg.n_dims], node_mask),
+                            z_s[:, :, cfg.n_dims :],
+                        ],
+                        axis=2,
+                    ) * node_mask
+                    return (z_s, x_t, h, jnp.ones(())), None
 
-            return step
+                return step
 
-        xs = (s_vals, t_vals, jax.random.split(k_scan, K))
+            xs = (s_vals, t_vals)
+            carry = (z, jnp.zeros_like(z), jnp.ones((b, 1, 1)), jnp.zeros(()))
+        else:
+
+            def make_jump(step_dtype):
+                def step(z, inp):
+                    s_v, t_v, k = inp
+                    s_arr = jnp.full((b, 1), s_v, dtype=jnp.float32)
+                    t_arr = jnp.full((b, 1), t_v, dtype=jnp.float32)
+                    z = sample_p_zs_given_zt_ddim(
+                        params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z,
+                        node_mask, edge_mask, context, eta, fix_noise, step_dtype,
+                    )
+                    return z, None
+
+                return step
+
+            xs = (s_vals, t_vals, jax.random.split(k_scan, K))
+            carry = z
+
         tail = int(round(spec.mixed_tail * K)) if spec.full else 0
         if tail > 0:
             head = K - tail
-            z, _ = jax.lax.scan(make_jump(spec), z, tuple(a[:head] for a in xs))
-            z, _ = jax.lax.scan(make_jump(None), z, tuple(a[head:] for a in xs))
+            carry, _ = jax.lax.scan(make_jump(spec), carry,
+                                    tuple(a[:head] for a in xs))
+            carry, _ = jax.lax.scan(make_jump(None), carry,
+                                    tuple(a[head:] for a in xs))
             compute_dtype_final = None
         else:
-            z, _ = jax.lax.scan(make_jump(compute_dtype), z, xs)
+            carry, _ = jax.lax.scan(make_jump(compute_dtype), carry, xs)
             compute_dtype_final = compute_dtype
+        z = carry[0] if method == "dpm2m" else carry
         frames = None
     else:
 

@@ -309,19 +309,19 @@ def model_nll_fn(model_cfg: ModelConfig, training: bool, compute_dtype=None):
 
 
 def model_sample_fn(model_cfg: ModelConfig, compute_dtype=None,
-                    n_steps=None, eta: float = 1.0):
+                    n_steps=None, eta: float = 1.0, method: str = "ddim"):
     """Return sample(params, key, node_mask, edge_mask, context, fix_noise)
     -> (x, h_cat, h_int) for generative model kinds.
 
-    ``n_steps``/``eta`` (static, baked into the closure) select the strided
-    DDIM-family sampler — few-step generation beyond the reference."""
+    ``n_steps``/``eta``/``method`` (static, baked into the closure) select
+    the strided few-step sampler — beyond the reference."""
     if model_cfg.kind == "diffusion":
 
         def sample(params, key, node_mask, edge_mask, context=None, fix_noise=False):
             return vdm.vdm_sample(
                 params, model_cfg.diffusion, model_cfg.dynamics, key, node_mask,
                 edge_mask, context, fix_noise, compute_dtype,
-                n_steps=n_steps, eta=eta,
+                n_steps=n_steps, eta=eta, method=method,
             )
 
         return sample
@@ -331,7 +331,7 @@ def model_sample_fn(model_cfg: ModelConfig, compute_dtype=None,
             return ldm.ldm_sample(
                 params, model_cfg.diffusion, model_cfg.dynamics, model_cfg.vae, key,
                 node_mask, edge_mask, context, fix_noise, compute_dtype,
-                n_steps=n_steps, eta=eta,
+                n_steps=n_steps, eta=eta, method=method,
             )
 
         return sample

@@ -44,12 +44,13 @@ def rotate_chain(z: np.ndarray, n_steps: int = 30) -> np.ndarray:
 
 @lru_cache(maxsize=8)
 def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str],
-                    n_steps: Optional[int] = None, eta: float = 1.0):
+                    n_steps: Optional[int] = None, eta: float = 1.0,
+                    method: str = "ddim"):
     from geoldm_tpu.nn.core import resolve_compute
 
     spec = resolve_compute(compute_dtype_name)
     fn = factory.model_sample_fn(model_cfg, compute_dtype=spec,
-                                 n_steps=n_steps, eta=eta)
+                                 n_steps=n_steps, eta=eta, method=method)
     return jax.jit(fn, static_argnames=("fix_noise",))
 
 
@@ -69,6 +70,7 @@ def sample(
     as_numpy: bool = True,
     n_steps: Optional[int] = None,
     eta: float = 1.0,
+    method: str = "ddim",
 ):
     """Generate molecules with the requested atom counts.
 
@@ -120,7 +122,7 @@ def sample(
         if context_dev is not None:
             context_dev = jax.device_put(context_dev, shd.batch_sharding(mesh))
 
-    sampler = _jitted_sampler(model_cfg, compute_dtype, n_steps, eta)
+    sampler = _jitted_sampler(model_cfg, compute_dtype, n_steps, eta, method)
     x, h_cat, h_int = sampler(
         params, key, node_mask_dev, edge_mask_dev,
         context_dev, fix_noise=fix_noise,
@@ -166,6 +168,7 @@ def sample_bucketed(
     mesh=None,
     n_steps: Optional[int] = None,
     eta: float = 1.0,
+    method: str = "ddim",
 ):
     """Size-bucketed generation: molecules are grouped by atom count and each
     group is padded only to its bucket boundary, cutting the O(N^2) edge work
@@ -219,6 +222,7 @@ def sample_bucketed(
                 model_cfg, params, sub, dataset_info, sizes, prop_dist=prop_dist,
                 fix_noise=fix_noise, pad_nodes=pad, compute_dtype=compute_dtype,
                 rng=rng, mesh=mesh, as_numpy=False, n_steps=n_steps, eta=eta,
+                method=method,
             )
             pending.append((chunk, pad, n_real, res))
     # All chunks are dispatched before any device->host sync: jax's async

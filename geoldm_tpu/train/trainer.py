@@ -350,13 +350,14 @@ def analyze_and_save(
     datadir: str = "data",
     n_steps: Optional[int] = None,
     eta: float = 1.0,
+    method: str = "ddim",
     external_smiles=None,
 ):
     """Generate n_samples molecules and compute stability (+rdkit) metrics.
 
-    ``n_steps``/``eta`` select the strided DDIM-family sampler (few-step
-    generation beyond the reference's fixed-T protocol; see vdm.vdm_sample).
-    reference: train_test.py:176-197, eval_analyze.py:35-67."""
+    ``n_steps``/``eta``/``method`` select the strided few-step sampler
+    (generation beyond the reference's fixed-T protocol; see
+    vdm.vdm_sample). reference: train_test.py:176-197, eval_analyze.py:35-67."""
     rng = rng or np.random.default_rng(0)
     batch_size = min(batch_size, n_samples)
     nodesxsample = nodes_dist.sample(n_samples, rng)
@@ -375,7 +376,7 @@ def analyze_and_save(
         model_cfg, params, key, dataset_info, nodesxsample,
         batch_size=batch_size, buckets=buckets, prop_dist=prop_dist,
         compute_dtype=compute_dtype, rng=rng, mesh=mesh, n_steps=n_steps,
-        eta=eta,
+        eta=eta, method=method,
     )
     t_gen = time.time() - t0
     molecules = {"one_hot": one_hot, "x": x, "node_mask": node_mask[..., 0]}

@@ -105,21 +105,23 @@ for i in range(STEPS):
               flush=True)
 
 sizes = np.array([5, 3, 4] * 100)  # 300 molecules of template sizes
-print(f"\n{'n_steps':>8} {'eta':>4} {'atom_stab':>10} {'mol_stab':>9} "
-      f"{'time_s':>7}")
-rows = []
+print(f"\n{'n_steps':>8} {'method':>8} {'eta':>4} {'atom_stab':>10} "
+      f"{'mol_stab':>9} {'time_s':>7}")
 for n_steps in [T, T // 2, T // 5, T // 10, T // 20]:
-    for eta in ([1.0, 0.0] if n_steps < T else [1.0]):
+    if n_steps == T:
+        cases = [("ddim", 1.0)]
+    else:
+        cases = [("ddim", 1.0), ("ddim", 0.0), ("dpm2m", 0.0)]
+    for method, eta in cases:
         t0 = time.time()
         oh, ch, x, nm = S.sample(
             cfg, state.ema_params, jax.random.key(7), INFO, sizes, pad_nodes=8,
-            n_steps=None if n_steps == T else n_steps, eta=eta,
+            n_steps=None if n_steps == T else n_steps, eta=eta, method=method,
         )
         dt = time.time() - t0
         v, _ = analyze_stability_for_molecules(
             {"x": x, "one_hot": oh, "node_mask": nm[..., 0]}, INFO,
             use_rdkit=False,
         )
-        rows.append((n_steps, eta, v["atm_stable"], v["mol_stable"], dt))
-        print(f"{n_steps:>8} {eta:>4.1f} {v['atm_stable']:>10.3f} "
+        print(f"{n_steps:>8} {method:>8} {eta:>4.1f} {v['atm_stable']:>10.3f} "
               f"{v['mol_stable']:>9.3f} {dt:>7.1f}", flush=True)

@@ -144,6 +144,63 @@ def test_few_step_ldm_through_factory():
     np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-3)
 
 
+@pytest.mark.parametrize("n_steps", [1, 4, 12])
+def test_dpm2m_sample_invariants(n_steps):
+    """DPM-Solver++(2M) few-step sampling keeps the sampler invariants."""
+    cfg = tiny_model()
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask, edge_mask = masked_batch()
+    x, h_cat, h_int = vdm.vdm_sample(
+        params, cfg.diffusion, cfg.dynamics, jax.random.key(8), node_mask,
+        edge_mask, n_steps=n_steps, method="dpm2m",
+    )
+    x = np.asarray(x)
+    mask = np.asarray(node_mask)
+    assert np.all(np.isfinite(x))
+    assert np.abs(x * (1 - mask)).max() == 0.0
+    np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-4)
+    assert np.all(np.isin(np.asarray(h_cat), [0.0, 1.0]))
+
+
+def test_dpm2m_single_jump_equals_ddim_eta0():
+    """With one jump (no multistep history) DPM-Solver++(2M) reduces
+    algebraically to the deterministic DDIM update:
+    sigma_s/sigma_t z - alpha_s expm1(-h) x == alpha_s x + sigma_s eps_hat
+    since alpha_s(1 - e^{-h}) = alpha_s - alpha_t sigma_s/sigma_t. Same key
+    -> same z_T and decode noise -> equal molecules to float tolerance."""
+    cfg = tiny_model()
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask, edge_mask = masked_batch()
+    key = jax.random.key(9)
+    a = vdm.vdm_sample(params, cfg.diffusion, cfg.dynamics, key, node_mask,
+                       edge_mask, n_steps=1, eta=0.0)
+    b_ = vdm.vdm_sample(params, cfg.diffusion, cfg.dynamics, key, node_mask,
+                        edge_mask, n_steps=1, method="dpm2m")
+    for x, y in zip(a, b_):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dpm2m_ldm_through_factory():
+    cfg = tiny_model("latent_diffusion", latent_nf=1)
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask, edge_mask = masked_batch()
+    fn = factory.model_sample_fn(cfg, n_steps=4, method="dpm2m")
+    x, h_cat, h_int = fn(params, jax.random.key(5), node_mask, edge_mask)
+    assert np.all(np.isfinite(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-3)
+
+
+def test_unknown_method_raises():
+    cfg = tiny_model()
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask, edge_mask = masked_batch()
+    with pytest.raises(ValueError, match="method"):
+        vdm.vdm_sample(params, cfg.diffusion, cfg.dynamics, jax.random.key(0),
+                       node_mask, edge_mask, n_steps=4, method="heun")
+
+
 def test_strided_grid_is_strictly_decreasing():
     """The integer sub-grid tau has strictly decreasing, in-range entries
     for every K in [1, T]."""
