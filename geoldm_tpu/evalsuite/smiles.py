@@ -484,6 +484,13 @@ def _kekulize(n, symbols, charges, implicit_h, fixed, arom_edges, full):
 
     edges = [tuple(e) for e in arom_edges]
     matched: Dict[int, int] = {}
+    # Pruning: once the last edge touching a still-unmatched needy atom has
+    # been skipped, no completion exists — cut that branch immediately.
+    # This keeps fused aromatic systems (many edges) effectively linear.
+    last_edge: Dict[int, int] = {}
+    for idx, (i, j) in enumerate(edges):
+        last_edge[i] = idx
+        last_edge[j] = idx
 
     def bt(k: int) -> bool:
         if k == len(edges):
@@ -495,6 +502,9 @@ def _kekulize(n, symbols, charges, implicit_h, fixed, arom_edges, full):
             if bt(k + 1):
                 return True
             del matched[i], matched[j]
+        for a in (i, j):
+            if needs[a] and a not in matched and last_edge[a] == k:
+                return False
         return bt(k + 1)
 
     if not bt(0):

@@ -165,6 +165,20 @@ def test_unsupported_constructs_raise():
             sm.parse_smiles(bad)
 
 
+def test_fused_aromatics_and_real_molecules():
+    """Fused aromatic systems and a drug-like heterocycle kekulize and
+    re-canonicalize idempotently (the matching pruner keeps this fast)."""
+    for s in [
+        "c1ccc2ccccc2c1",              # naphthalene
+        "c1ccc2cc3ccccc3cc2c1",        # anthracene
+        "c1cc2ccc3cccc4ccc(c1)c2c34",  # pyrene
+        "Cn1cnc2c1c(=O)n(C)c(=O)n2C",  # caffeine
+        "O=C(O)c1ccccc1O",             # salicylic acid
+    ]:
+        c = sm.recanonicalize(s)
+        assert sm.recanonicalize(c) == c
+
+
 def test_ring_token_above_nine():
     # 10 fused ring closures force %nn tokens; parse our own emission.
     # build a long cycle: 30-atom ring
