@@ -191,6 +191,16 @@ def main(argv=None) -> None:
         if nll_val is not None:
             f.write(f"nll_val {nll_val}\nnll_test {nll_test}\n")
 
+    # Unique canonical SMILES of the generated set as a standalone artifact
+    # (sorted for diffability) — usable as a --novelty_smiles base for a
+    # later run, or for external analysis. The reference keeps these only
+    # in memory (qm9/rdkit_functions.py:115-133).
+    if rdkit_tuple is not None and rdkit_tuple[1]:
+        smiles_path = os.path.join(args.model_path, "generated_smiles.txt")
+        with open(smiles_path, "w") as f:
+            f.write("\n".join(sorted(rdkit_tuple[1])) + "\n")
+        print(f"wrote {len(rdkit_tuple[1])} unique SMILES to {smiles_path}")
+
 
 if __name__ == "__main__":
     main()

@@ -160,16 +160,16 @@ def _emit(symbols, orders, charges, neigh, ranks) -> str:
     n = len(symbols)
     root = min(range(n), key=lambda i: (ranks[i], i))
 
-    # Pass 1: DFS tree + back edges in traversal order.
+    # Pass 1: spanning tree + ring (non-tree) edges. Children are claimed
+    # in rank order as each node is expanded; pass 2 follows the same
+    # parent[] array, so the two passes agree on the tree by construction.
     parent = [-2] * n
-    back_edges: List[Tuple[int, int]] = []  # (discovered_at, other)
+    back_edges: List[Tuple[int, int]] = []
     order_key = lambda j: ranks[j]
     stack = [(root, -1)]
     parent[root] = -1
-    visit_seq = []
     while stack:
         i, par = stack.pop()
-        visit_seq.append(i)
         children = []
         for j in sorted(neigh[i], key=order_key):
             if j == par:
@@ -183,9 +183,6 @@ def _emit(symbols, orders, charges, neigh, ranks) -> str:
                     back_edges.append((i, j))
         for j in reversed(children):
             stack.append((j, i))
-    # A DFS child may have been claimed while still on the stack by a
-    # different branch; re-derive true tree edges from the second pass
-    # instead — simplest is a recursive emit mirroring the same order.
 
     ring_of: Dict[Tuple[int, int], int] = {}
     for k, (i, j) in enumerate(back_edges):
