@@ -192,6 +192,23 @@ def test_dpm2m_ldm_through_factory():
     np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-3)
 
 
+@pytest.mark.parametrize("method", ["ddim", "dpm2m"])
+def test_few_step_with_conditioning_context(method):
+    """Property-conditioned sampling composes with both few-step methods
+    (the context rides through every strided jump)."""
+    cfg = tiny_model(context_node_nf=1)
+    params = factory.init_params(jax.random.key(0), cfg)
+    node_mask, edge_mask = masked_batch()
+    context = jnp.ones((node_mask.shape[0], node_mask.shape[1], 1)) * node_mask
+    x, h_cat, h_int = vdm.vdm_sample(
+        params, cfg.diffusion, cfg.dynamics, jax.random.key(11), node_mask,
+        edge_mask, context=context, n_steps=4,
+        eta=0.0 if method == "dpm2m" else 1.0, method=method,
+    )
+    assert np.all(np.isfinite(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(x).sum(axis=1), 0.0, atol=1e-4)
+
+
 def test_unknown_method_raises():
     cfg = tiny_model()
     params = factory.init_params(jax.random.key(0), cfg)
