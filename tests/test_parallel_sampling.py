@@ -63,6 +63,29 @@ def test_bucketed_sampling_with_mesh():
     np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
 
 
+def test_bucketed_fewstep_sampling_with_mesh():
+    """The strided few-step samplers (ddim + dpm2m) compile and run under
+    GSPMD batch sharding on the virtual mesh."""
+    import numpy as np
+
+    from geoldm_tpu.train import sampling as S
+
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    mesh = shd.make_mesh(dp=8, tp=1)
+    nodesxsample = np.array([5, 9, 7, 12, 4, 8, 10, 6])
+    for method in ("ddim", "dpm2m"):
+        one_hot, charges, x, node_mask = S.sample_bucketed(
+            cfg, params, jax.random.key(1), INFO, nodesxsample, batch_size=8,
+            buckets=(16, 32), mesh=mesh, n_steps=3,
+            eta=0.0 if method == "dpm2m" else 1.0, method=method,
+        )
+        assert np.all(np.isfinite(x))
+        np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_uneven_batch_pads_to_mesh_multiple():
     """B=12 on an 8-device mesh stays sharded (padded to 16, trimmed back)
