@@ -297,9 +297,13 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     # The fused pallas backward needs a raised scoped-VMEM limit — applied
     # per-compile to the train step ONLY (forward programs like the
     # periodic sampler stay at the default limit, which XLA prefers).
+    # donate_argnums=0: the train state (params/opt-state/EMA) is consumed
+    # and rebound every step, so XLA can update it in place — saves a full
+    # state copy of HBM at flagship scale (no-op on CPU).
     train_step = jax.jit(
         make_train_step(model_cfg, train_cfg, tx, compute_dtype),
         compiler_options=train_step_compiler_options(compute_dtype),
+        donate_argnums=0,
     )
     eval_nll = jax.jit(make_eval_nll(model_cfg, compute_dtype))
 
