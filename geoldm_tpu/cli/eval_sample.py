@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--eta", type=float, default=1.0)
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "dpm2m"])
+    p.add_argument("--chain_uncertainty", type=eval, default=True,
+                   help="render chain gifs as 3-frame alpha overlays like "
+                        "the reference's eval_sample (False = plain frames)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -113,7 +116,12 @@ def main(argv=None) -> None:
         )
         chain_dir = os.path.join(outdir, f"chain_{c}")
         viz.save_chain(chain_dir, chain_oh, chain_ch, chain_x, dataset_info)
-        gif = viz.visualize_chain(chain_dir, dataset_info)
+        if args.chain_uncertainty:
+            # reference eval_sample.py:42 renders chains as 3-frame
+            # alpha overlays (sampling uncertainty as ghosting).
+            gif = viz.visualize_chain_uncertainty(chain_dir, dataset_info)
+        else:
+            gif = viz.visualize_chain(chain_dir, dataset_info)
         print(f"chain gif: {gif}")
 
 

@@ -195,6 +195,54 @@ def visualize_chain(
     return gif_path
 
 
+def visualize_chain_uncertainty(
+    path: str,
+    dataset_info,
+    spheres_3d: bool = False,
+    gif_name: str = "output",
+    alpha: float = 0.5,
+) -> Optional[str]:
+    """Render a chain as an uncertainty GIF: each frame overlays THREE
+    consecutive chain states at partial alpha, so per-step sampling
+    variance shows as ghosting. reference: qm9/visualizer.py:354-393
+    (used by the reference's eval_sample chains, eval_sample.py:42)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import imageio
+    import matplotlib.pyplot as plt
+
+    files = sorted(load_xyz_files(path, shuffle=False))
+    if len(files) < 3:
+        return visualize_chain(path, dataset_info, spheres_3d, gif_name)
+    pngs = []
+    for i in range(len(files) - 2):
+        frames = [load_molecule_xyz(f, dataset_info) for f in files[i : i + 3]]
+        fig = plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(projection="3d")
+        ax.set_axis_off()
+        ax.view_init(elev=10, azim=-60)
+        fig.patch.set_facecolor("white")
+        ax.set_facecolor("white")
+        max_value = 1e-3
+        for positions, one_hot in frames:
+            types = np.argmax(one_hot, axis=1)
+            plot_molecule_3d(ax, positions, types, dataset_info, alpha=alpha)
+            max_value = max(max_value, float(np.abs(positions).max()))
+        axis_lim = min(40.0, max(max_value / 1.5 + 0.3, 3.2))
+        ax.set_xlim(-axis_lim, axis_lim)
+        ax.set_ylim(-axis_lim, axis_lim)
+        ax.set_zlim(-axis_lim, axis_lim)
+        png = files[i].replace(".txt", ".png")
+        plt.savefig(png, bbox_inches="tight", pad_inches=0.0, dpi=100)
+        plt.close(fig)
+        pngs.append(png)
+    gif_path = os.path.join(os.path.dirname(files[0]), f"{gif_name}.gif")
+    imgs = [imageio.v2.imread(p) for p in pngs]
+    imageio.mimsave(gif_path, imgs, subrectangles=True)
+    return gif_path
+
+
 def save_chain(
     path: str,
     chain_one_hot: np.ndarray,

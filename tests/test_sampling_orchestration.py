@@ -157,6 +157,24 @@ def test_visualizer_render_and_gif(tmp_path):
     assert all(os.path.exists(p) for p in pngs)
 
 
+def test_visualizer_chain_uncertainty_gif(tmp_path):
+    """The 3-frame alpha-overlay chain renderer (reference
+    eval_sample.py:42) produces a gif; short chains fall back to plain."""
+    rng = np.random.default_rng(1)
+    n = 4
+    one_hot = np.eye(5, dtype=np.float32)[rng.integers(0, 5, (4, n))]
+    positions = rng.standard_normal((4, n, 3)).astype(np.float32)
+    chain_dir = tmp_path / "chain_u"
+    viz.save_chain(str(chain_dir), one_hot, np.zeros((4, n, 1)), positions, INFO)
+    gif = viz.visualize_chain_uncertainty(str(chain_dir), INFO)
+    assert gif is not None and os.path.exists(gif)
+    short_dir = tmp_path / "chain_short"
+    viz.save_chain(str(short_dir), one_hot[:2], np.zeros((2, n, 1)),
+                   positions[:2], INFO)
+    gif2 = viz.visualize_chain_uncertainty(str(short_dir), INFO)
+    assert gif2 is not None and os.path.exists(gif2)
+
+
 @pytest.mark.slow
 def test_sample_bucketed():
     cfg = tiny_cfg_bucketed = tiny_cfg()
