@@ -1,0 +1,290 @@
+"""Molecule generation server: warm-compiled samplers behind a tiny HTTP API.
+
+Production-serving path with no reference counterpart: loads a checkpoint,
+pre-compiles the size-bucketed sampler for every bucket (so the first
+request pays zero compile time), and serves JSON over stdlib
+http.server — no external dependencies, one process per accelerator.
+
+Endpoints:
+  GET  /health   -> {"status": "ok", "model": ..., "buckets": [...]}
+  GET  /metrics  -> request/molecule counters + latency quantiles (JSON)
+  POST /sample   -> {"n_samples": int} or {"sizes": [int, ...]}, optional
+                    {"seed": int, "n_steps": int, "eta": float,
+                     "sampler": "ddim"|"dpm2m", "format": "xyz"|"json"}
+                    Returns generated molecules: "json" (default) gives
+                    per-molecule atom lists [[element, x, y, z], ...] plus
+                    stability verdicts; "xyz" gives xyz-format text blocks.
+
+Device calls are serialized with a lock (one chip, one compiled program at
+a time); request handling itself is threaded so health/metrics stay
+responsive during generation.
+
+Usage: python -m geoldm_tpu.cli.serve --model_path outputs/qm9_ldm
+           [--port 8000] [--n_steps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="geoldm-tpu sampling server")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="qm9")
+    p.add_argument("--remove_h", action="store_true")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_max", type=int, default=250,
+                   help="max molecules per device dispatch; larger requests "
+                        "are chunked")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16_mixed")
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="default few-step setting for requests that don't "
+                        "specify one (None = dense reference protocol)")
+    p.add_argument("--eta", type=float, default=1.0)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm2m"])
+    p.add_argument("--use_ema", type=eval, default=True)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the startup warm-compile pass (first request "
+                        "then pays the compile)")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+class SamplerService:
+    """Checkpoint + compiled samplers + metrics. Thread-safe via a device
+    lock: jax dispatches are serialized, bookkeeping is per-call."""
+
+    def __init__(self, args):
+        import jax
+        import numpy as np
+
+        from geoldm_tpu.data.datasets_config import get_dataset_info
+        from geoldm_tpu.models import factory
+        from geoldm_tpu.models.distributions import DistributionNodes
+        from geoldm_tpu.train import sampling as sampling_mod
+        from geoldm_tpu.utils import checkpoint as ckpt
+
+        self._np = np
+        self._jax = jax
+        self._sampling = sampling_mod
+        self.args = args
+        self.model_cfg = ckpt.load_config(args.model_path)
+        self.dataset_info = get_dataset_info(args.dataset, args.remove_h)
+        self.nodes_dist = DistributionNodes(self.dataset_info.n_nodes)
+        template = {"params": factory.init_params(jax.random.key(0), self.model_cfg)}
+        template["ema_params"] = template["params"]
+        state = ckpt.load_checkpoint(args.model_path, template=template,
+                                     name="best")
+        self.params = state["ema_params"] if args.use_ema else state["params"]
+
+        max_n = self.dataset_info["max_n_nodes"]
+        top = -(-max_n // 8) * 8
+        self.buckets = tuple(
+            b for b in sampling_mod.default_buckets(self.dataset_info)
+            if b < top
+        ) + (top,)
+
+        self.device_lock = threading.Lock()
+        self.metrics_lock = threading.Lock()
+        self.requests = 0
+        self.molecules = 0
+        self.errors = 0
+        self.latencies = []  # seconds, capped window
+        self.started = time.time()
+
+    def warmup(self):
+        """Compile the sampler at every bucket (chunk shape = batch_max) so
+        serving latency never includes XLA compilation."""
+        import numpy as np
+
+        t0 = time.time()
+        sizes = np.concatenate([
+            np.full(self.args.batch_max, min(b, self.dataset_info["max_n_nodes"]))
+            for b in self.buckets
+        ])
+        self._generate(sizes, seed=0, n_steps=self.args.n_steps,
+                       eta=self.args.eta, method=self.args.sampler)
+        return time.time() - t0
+
+    def _generate(self, sizes, seed, n_steps, eta, method):
+        import jax
+        import numpy as np
+
+        with self.device_lock:
+            one_hot, charges, x, node_mask = self._sampling.sample_bucketed(
+                self.model_cfg, self.params, jax.random.key(seed),
+                self.dataset_info, np.asarray(sizes, dtype=np.int64),
+                batch_size=self.args.batch_max, buckets=self.buckets,
+                compute_dtype=self.args.compute_dtype,
+                rng=np.random.default_rng(seed), n_steps=n_steps, eta=eta,
+                method=method,
+            )
+        return one_hot, charges, x, node_mask
+
+    def sample(self, body: dict) -> dict:
+        """Handle one /sample request body; returns the response dict."""
+        import numpy as np
+
+        from geoldm_tpu.evalsuite.analyze import check_stability
+
+        t0 = time.time()
+        if "sizes" in body:
+            sizes = np.asarray(body["sizes"], dtype=np.int64)
+            if sizes.ndim != 1 or len(sizes) == 0:
+                raise ValueError("sizes must be a non-empty list of ints")
+            max_n = self.dataset_info["max_n_nodes"]
+            if sizes.min() < 1 or sizes.max() > max_n:
+                raise ValueError(f"sizes must be in [1, {max_n}]")
+        else:
+            n = int(body.get("n_samples", 1))
+            if not 1 <= n <= 100_000:
+                raise ValueError("n_samples must be in [1, 100000]")
+            rng = np.random.default_rng(body.get("seed", self.args.seed))
+            sizes = self.nodes_dist.sample(n, rng)
+
+        seed = int(body.get("seed", self.args.seed))
+        n_steps = body.get("n_steps", self.args.n_steps)
+        n_steps = None if n_steps in (None, 0) else int(n_steps)
+        eta = float(body.get("eta", self.args.eta))
+        method = str(body.get("sampler", self.args.sampler))
+
+        one_hot, charges, x, node_mask = self._generate(
+            sizes, seed, n_steps, eta, method)
+
+        decoder = self.dataset_info["atom_decoder"]
+        fmt = body.get("format", "json")
+        mols, stable = [], []
+        for i in range(len(x)):
+            n_i = int(node_mask[i, :, 0].sum())
+            types = np.argmax(one_hot[i, :n_i], axis=1)
+            stable.append(bool(
+                check_stability(x[i, :n_i], types, self.dataset_info)[0]))
+            if fmt == "xyz":
+                lines = [f"{n_i}", ""]
+                for a in range(n_i):
+                    el = decoder[int(types[a])]
+                    px, py, pz = x[i, a]
+                    lines.append(f"{el} {px:.6f} {py:.6f} {pz:.6f}")
+                mols.append("\n".join(lines))
+            else:
+                mols.append([
+                    [decoder[int(types[a])], float(x[i, a, 0]),
+                     float(x[i, a, 1]), float(x[i, a, 2])]
+                    for a in range(n_i)
+                ])
+        elapsed = time.time() - t0
+        with self.metrics_lock:
+            self.requests += 1
+            self.molecules += len(mols)
+            self.latencies = (self.latencies + [elapsed])[-1000:]
+        return {
+            "molecules": mols,
+            "format": fmt,
+            "stable": stable,
+            "n": len(mols),
+            "sampler": {"n_steps": n_steps, "eta": eta, "method": method,
+                        "protocol": "dense-T" if n_steps is None
+                        else f"fewstep-{n_steps}"},
+            "seconds": round(elapsed, 4),
+        }
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "model": self.args.model_path,
+            "kind": self.model_cfg.kind,
+            "dataset": self.dataset_info["name"],
+            "buckets": list(self.buckets),
+            "device": str(self._jax.devices()[0].device_kind),
+            "uptime_s": round(time.time() - self.started, 1),
+        }
+
+    def metrics(self) -> dict:
+        import numpy as np
+
+        with self.metrics_lock:
+            lat = list(self.latencies)
+            out = {
+                "requests": self.requests,
+                "molecules": self.molecules,
+                "errors": self.errors,
+            }
+        if lat:
+            out["latency_s"] = {
+                "p50": round(float(np.percentile(lat, 50)), 4),
+                "p95": round(float(np.percentile(lat, 95)), 4),
+                "max": round(max(lat), 4),
+            }
+        return out
+
+
+def make_handler(service: SamplerService):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, service.health())
+            elif self.path == "/metrics":
+                self._send(200, service.metrics())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                self._send(200, service.sample(body))
+            except (ValueError, KeyError) as e:
+                with service.metrics_lock:
+                    service.errors += 1
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *log_args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def main(argv=None, *, serve_forever: bool = True):
+    args = parse_args(argv)
+    from geoldm_tpu.utils.jaxcache import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from http.server import ThreadingHTTPServer
+
+    service = SamplerService(args)
+    if not args.no_warmup:
+        dt = service.warmup()
+        print(f"warm-compiled {len(service.buckets)} buckets in {dt:.1f}s")
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving {args.model_path} on http://{args.host}:"
+          f"{server.server_address[1]} (buckets {service.buckets})")
+    if serve_forever:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+    return server, service
+
+
+if __name__ == "__main__":
+    main()
