@@ -158,6 +158,158 @@ def params_from_reference_state_dict(sd: Mapping[str, Any], model_cfg) -> Dict[s
     return params
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: geoldm-tpu params -> reference state dict (export)
+# ---------------------------------------------------------------------------
+
+
+def _unstack_blocks(blocks) -> list:
+    """Invert the scan-stacking: leading layer axis -> list of per-layer
+    pytrees."""
+    import jax
+
+    n = jax.tree.leaves(blocks)[0].shape[0]
+    return [jax.tree.map(lambda x: np.asarray(x)[i], blocks) for i in range(n)]
+
+
+def _lin_out(out: Dict[str, np.ndarray], prefix: str, p: Dict[str, Any]) -> None:
+    out[prefix + ".weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+    if "b" in p:
+        out[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def egnn_state_dict_from_params(
+    out: Dict[str, np.ndarray], prefix: str, egnn_params: Dict[str, Any],
+    attention: bool,
+) -> None:
+    """Inverse of egnn_params_from_state_dict: scan-stacked pytree ->
+    reference egnn/egnn_new.py key layout."""
+    _lin_out(out, prefix + "embedding", egnn_params["embedding"])
+    _lin_out(out, prefix + "embedding_out", egnn_params["embedding_out"])
+    for i, blk in enumerate(_unstack_blocks(egnn_params["blocks"])):
+        bp = f"{prefix}e_block_{i}."
+        for j, g in enumerate(blk["gcls"]):
+            gp = f"{bp}gcl_{j}."
+            _lin_out(out, gp + "edge_mlp.0", g["edge_mlp"][0])
+            _lin_out(out, gp + "edge_mlp.2", g["edge_mlp"][1])
+            _lin_out(out, gp + "node_mlp.0", g["node_mlp"][0])
+            _lin_out(out, gp + "node_mlp.2", g["node_mlp"][1])
+            if attention:
+                _lin_out(out, gp + "att_mlp.0", g["att_mlp"])
+        for k, idx in enumerate((0, 2, 4)):
+            _lin_out(out, f"{bp}gcl_equiv.coord_mlp.{idx}", blk["coord_mlp"][k])
+
+
+def state_dict_from_params(params: Dict[str, Any], model_cfg) -> Dict[str, np.ndarray]:
+    """Map a geoldm-tpu param pytree back onto the reference's
+    ``model.state_dict()`` key layout (numpy values; wrap with torch.tensor
+    for torch.save). Includes the reference's non-trainable entries — the
+    fixed-schedule gamma lookup table and the dummy ``buffer`` — so
+    ``load_state_dict(..., strict=True)`` passes on a freshly built
+    reference model."""
+    from geoldm_tpu.diffusion.schedules import gamma_table
+
+    out: Dict[str, np.ndarray] = {}
+    if model_cfg.kind in ("diffusion", "latent_diffusion"):
+        d = model_cfg.diffusion
+        out["buffer"] = np.zeros(1, dtype=np.float32)  # en_diffusion.py:294
+        if d.noise_schedule == "learned":
+            g = params["gamma"]
+            for name in ("l1", "l2", "l3"):
+                _lin_out(out, f"gamma.{name}", g[name])
+            out["gamma.gamma_0"] = np.asarray(g["gamma_0"])
+            out["gamma.gamma_1"] = np.asarray(g["gamma_1"])
+        else:
+            out["gamma.gamma"] = gamma_table(
+                d.noise_schedule, d.timesteps, d.noise_precision
+            ).astype(np.float32)
+        e = model_cfg.dynamics.egnn
+        egnn_state_dict_from_params(
+            out, "dynamics.egnn.", params["dynamics"]["egnn"], e.attention)
+    if model_cfg.kind in ("vae", "latent_diffusion"):
+        vp = "vae." if model_cfg.kind == "latent_diffusion" else ""
+        vparams = params["vae"] if model_cfg.kind == "latent_diffusion" else params
+        out[vp + "buffer"] = np.zeros(1, dtype=np.float32)  # en_diffusion.py:885
+        enc = vparams["encoder"]
+        egnn_state_dict_from_params(
+            out, f"{vp}encoder.egnn.", enc["egnn"],
+            model_cfg.vae.encoder_egnn.attention)
+        _lin_out(out, f"{vp}encoder.final_mlp.0", enc["final_mlp"][0])
+        _lin_out(out, f"{vp}encoder.final_mlp.2", enc["final_mlp"][1])
+        egnn_state_dict_from_params(
+            out, f"{vp}decoder.egnn.", vparams["decoder"]["egnn"],
+            model_cfg.vae.decoder_egnn.attention)
+    return out
+
+
+def reference_args_from_model_config(model_cfg, dataset: str = "qm9",
+                                     remove_h: bool = False,
+                                     conditioning=()):
+    """ModelConfig -> an argparse.Namespace in the reference's args.pickle
+    shape, inverse of model_config_from_reference_args (round-trip tested).
+    Model-architecture fields plus the attributes the reference's model
+    builders read (qm9/models.py get_model/get_autoencoder/
+    get_latent_diffusion: conditioning, probabilistic_model, ae_path) are
+    populated — training hyperparameters are not part of a weights export.
+    ``conditioning`` must list the property names the context channels were
+    trained on if context_node_nf > 0 (we store only the channel count)."""
+    import argparse
+
+    kind = model_cfg.kind
+    if kind == "diffusion":
+        raise ValueError(
+            "the reference args.pickle layout has no pure-VDM shape "
+            "(qm9/models.py builds the latent model whenever "
+            "train_diffusion is set) — export latent_diffusion or vae "
+            "checkpoints"
+        )
+    e = (model_cfg.dynamics.egnn if kind != "vae"
+         else model_cfg.vae.decoder_egnn)
+    vae = model_cfg.vae
+    ctx_nf = (model_cfg.dynamics.context_node_nf
+              if model_cfg.dynamics is not None else vae.context_node_nf)
+    if ctx_nf > 0 and not conditioning:
+        print(f"warning: model has context_node_nf={ctx_nf} but no "
+              "--conditioning property names given; the reference's eval "
+              "scripts need them to rebuild the context")
+    ns = argparse.Namespace(
+        dataset=dataset,
+        remove_h=remove_h,
+        conditioning=list(conditioning),
+        ae_path=None,
+        cuda=False,  # qm9/models.py:118 picks the device from this
+        ema_decay=0.9999,  # makes upstream --ae_path reuse pick the ema file
+        include_charges=(vae.include_charges if vae is not None
+                         else model_cfg.diffusion.include_charges),
+        context_node_nf=ctx_nf,
+        nf=e.hidden_nf,
+        n_layers=e.n_layers,
+        latent_nf=vae.latent_nf if vae is not None else 1,
+        kl_weight=vae.kl_weight if vae is not None else 0.01,
+        attention=e.attention,
+        tanh=e.tanh,
+        norm_constant=e.norm_constant,
+        inv_sublayers=e.inv_sublayers,
+        sin_embedding=e.sin_embedding,
+        normalization_factor=e.normalization_factor,
+        aggregation_method=e.aggregation_method,
+        train_diffusion=kind in ("diffusion", "latent_diffusion"),
+        trainable_ae=model_cfg.trainable_ae,
+    )
+    ns.model = (model_cfg.dynamics.mode if model_cfg.dynamics is not None
+                else "egnn_dynamics")
+    if kind in ("diffusion", "latent_diffusion"):
+        d = model_cfg.diffusion
+        ns.probabilistic_model = "diffusion"
+        ns.condition_time = model_cfg.dynamics.condition_time
+        ns.diffusion_steps = d.timesteps
+        ns.diffusion_noise_schedule = d.noise_schedule
+        ns.diffusion_noise_precision = d.noise_precision
+        ns.diffusion_loss_type = d.loss_type
+        ns.normalize_factors = tuple(d.norm_values)
+    return ns
+
+
 def model_config_from_reference_args(args: Any, dataset_info):
     """Pickled reference argparse namespace -> ModelConfig.
 

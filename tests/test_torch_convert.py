@@ -142,6 +142,56 @@ def test_converter_roundtrip_and_eval(tmp_path):
     assert "mol_stable" in log and "validity" in log
 
 
+def test_export_roundtrip_strict_load(tmp_path):
+    """Reverse direction: a jax checkpoint exports back to the reference
+    layout such that (a) args.pickle round-trips through
+    model_config_from_reference_args to the identical ModelConfig and
+    (b) a freshly built reference EnLatentDiffusion loads the exported
+    state dict with strict=True and every tensor matches the original."""
+    from geoldm_tpu.cli import convert_torch_checkpoint, export_torch_checkpoint
+    from geoldm_tpu.utils import checkpoint as ckpt
+    from geoldm_tpu.utils.torch_convert import model_config_from_reference_args
+
+    ldm, _, _, _ = _build_reference_ldm()
+    src = str(tmp_path / "torch_ckpt")
+    _write_reference_checkpoint(src, ldm.state_dict())
+
+    mid = str(tmp_path / "jax_ckpt")
+    convert_torch_checkpoint.main(["--torch_path", src, "--out", mid])
+    back = str(tmp_path / "torch_again")
+    export_torch_checkpoint.main(["--model_path", mid, "--out", back])
+
+    with open(os.path.join(back, "args.pickle"), "rb") as f:
+        ns = pickle.load(f)
+    assert model_config_from_reference_args(ns, INFO) == ckpt.load_config(mid)
+
+    # the pickle alone drives the upstream model builder (qm9/models.py:103)
+    from configs.datasets_config import get_dataset_info as ref_get_info
+    from qm9.models import get_latent_diffusion
+
+    upstream, _, _ = get_latent_diffusion(
+        ns, torch.device("cpu"), ref_get_info(ns.dataset, ns.remove_h), None)
+    upstream.load_state_dict(
+        torch.load(os.path.join(back, "generative_model_ema.npy"),
+                   weights_only=True),
+        strict=True)
+
+    fresh, _, _, _ = _build_reference_ldm()
+    for fname in ("generative_model.npy", "generative_model_ema.npy"):
+        sd = torch.load(os.path.join(back, fname), weights_only=True)
+        fresh.load_state_dict(sd, strict=True)  # raises on any key mismatch
+        orig = ldm.state_dict()
+        assert set(sd) == set(orig)
+        for k, v in fresh.state_dict().items():
+            if k == "gamma.gamma" or k.endswith("buffer"):
+                # non-trainable: regenerated schedule table / dummy buffer
+                np.testing.assert_allclose(
+                    v.numpy(), orig[k].numpy(), atol=1e-6, err_msg=k)
+            else:
+                np.testing.assert_array_equal(
+                    v.numpy(), orig[k].numpy(), err_msg=k)
+
+
 def test_load_checkpoint_mismatch_is_readable(tmp_path):
     """A template from a different config fails with a message naming the
     mismatched leaves instead of a raw orbax error."""
