@@ -203,11 +203,9 @@ def _bench_train_bucketed(cfg, info, train_batch_size: int, device_kind: str,
     counts = np.array([info.n_nodes[s] for s in sizes], dtype=np.float64)
     frac = counts / counts.sum()
 
-    max_n = info.max_n_nodes
-    covering = [bkt for bkt in sorted(set(DEFAULT_BUCKETS)) if bkt < max_n]
-    top = min((bkt for bkt in sorted(set(DEFAULT_BUCKETS)) if bkt >= max_n),
-              default=-(-max_n // 8) * 8)
-    buckets = tuple(covering) + (top,)
+    from geoldm_tpu.utils.buckets import covering_buckets
+
+    buckets = covering_buckets(DEFAULT_BUCKETS, info.max_n_nodes)
 
     state, raw_step, opts = _train_bench_setup(cfg, compute_dtype)
     b = train_batch_size

@@ -50,7 +50,9 @@ def _load_classifier(path, nf, n_layers):
     return ckpt.load_checkpoint(path, template=template, name="best")
 
 
-def main(argv=None) -> float:
+def main(argv=None):
+    """Returns the mean MAE (float) for the edm/qm9/naive tasks; the
+    qualitative sweep task renders a gif and returns None."""
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp
@@ -171,7 +173,11 @@ def main(argv=None) -> float:
         print(f"sweep gif: {gif}")
         return
 
-    mean_mae = float(np.mean(losses)) if losses else float("nan")
+    if not losses:
+        raise RuntimeError(
+            f"task {args.task!r} scored zero batches — check --iterations "
+            "and the dataset split sizes")
+    mean_mae = float(np.mean(losses))
     print(f"{args.task} MAE over {len(losses)} iterations: {mean_mae:.4f}")
     return mean_mae
 

@@ -1,9 +1,11 @@
 """Molecule generation server: warm-compiled samplers behind a tiny HTTP API.
 
 Production-serving path with no reference counterpart: loads a checkpoint,
-pre-compiles the size-bucketed sampler for every bucket (so the first
-request pays zero compile time), and serves JSON over stdlib
-http.server — no external dependencies, one process per accelerator.
+pre-compiles the size-bucketed sampler for every bucket — chunks are padded
+to the full batch so the warmed shapes are the complete set, and requests
+at the launch-time sampler settings pay zero XLA compile (overriding
+n_steps/eta/sampler re-traces once, warm thereafter) — and serves JSON over
+stdlib http.server, no external dependencies, one process per accelerator.
 
 Endpoints:
   GET  /health   -> {"status": "ok", "model": ..., "buckets": [...]}
@@ -83,24 +85,30 @@ class SamplerService:
                                      name="best")
         self.params = state["ema_params"] if args.use_ema else state["params"]
 
-        max_n = self.dataset_info["max_n_nodes"]
-        top = -(-max_n // 8) * 8
-        self.buckets = tuple(
-            b for b in sampling_mod.default_buckets(self.dataset_info)
-            if b < top
-        ) + (top,)
+        from geoldm_tpu.utils.buckets import covering_buckets
+
+        self.buckets = covering_buckets(
+            sampling_mod.default_buckets(self.dataset_info),
+            self.dataset_info["max_n_nodes"])
 
         self.device_lock = threading.Lock()
         self.metrics_lock = threading.Lock()
         self.requests = 0
         self.molecules = 0
         self.errors = 0
+        self._auto_seed = 0  # per-request counter for unseeded requests
         self.latencies = []  # seconds, capped window
         self.started = time.time()
 
     def warmup(self):
-        """Compile the sampler at every bucket (chunk shape = batch_max) so
-        serving latency never includes XLA compilation."""
+        """Compile the sampler at every bucket so serving latency never
+        includes XLA compilation. Serving pads every chunk to the full
+        batch_max (chunk_pad='full' below), so (batch_max, bucket) per
+        bucket is the COMPLETE set of shapes requests can hit — at the
+        cost of padded compute on remainder chunks, the right trade for
+        predictable latency. Requests overriding n_steps/eta/sampler
+        still trace on first use (warm thereafter; the persistent compile
+        cache makes even that cheap across restarts)."""
         import numpy as np
 
         t0 = time.time()
@@ -123,7 +131,7 @@ class SamplerService:
                 batch_size=self.args.batch_max, buckets=self.buckets,
                 compute_dtype=self.args.compute_dtype,
                 rng=np.random.default_rng(seed), n_steps=n_steps, eta=eta,
-                method=method,
+                method=method, chunk_pad="full",
             )
         return one_hot, charges, x, node_mask
 
@@ -134,6 +142,16 @@ class SamplerService:
         from geoldm_tpu.evalsuite.analyze import check_stability
 
         t0 = time.time()
+        if "seed" in body:
+            seed = int(body["seed"])
+        else:
+            # Unseeded requests must not repeat: mix a monotonic counter
+            # into the base seed so every request draws fresh molecules
+            # (the response echoes the seed for reproducibility).
+            with self.metrics_lock:
+                self._auto_seed += 1
+                seed = self.args.seed + self._auto_seed
+
         if "sizes" in body:
             sizes = np.asarray(body["sizes"], dtype=np.int64)
             if sizes.ndim != 1 or len(sizes) == 0:
@@ -145,10 +163,8 @@ class SamplerService:
             n = int(body.get("n_samples", 1))
             if not 1 <= n <= 100_000:
                 raise ValueError("n_samples must be in [1, 100000]")
-            rng = np.random.default_rng(body.get("seed", self.args.seed))
-            sizes = self.nodes_dist.sample(n, rng)
+            sizes = self.nodes_dist.sample(n, np.random.default_rng(seed))
 
-        seed = int(body.get("seed", self.args.seed))
         n_steps = body.get("n_steps", self.args.n_steps)
         n_steps = None if n_steps in (None, 0) else int(n_steps)
         eta = float(body.get("eta", self.args.eta))
@@ -191,6 +207,7 @@ class SamplerService:
             "sampler": {"n_steps": n_steps, "eta": eta, "method": method,
                         "protocol": "dense-T" if n_steps is None
                         else f"fewstep-{n_steps}"},
+            "seed": seed,
             "seconds": round(elapsed, 4),
         }
 
@@ -251,11 +268,17 @@ def make_handler(service: SamplerService):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("request body must be a JSON object")
                 self._send(200, service.sample(body))
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
                 with service.metrics_lock:
                     service.errors += 1
                 self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — client must get a reply
+                with service.metrics_lock:
+                    service.errors += 1
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *log_args):  # quiet by default
             pass

@@ -28,6 +28,7 @@ import numpy as np
 
 from geoldm_tpu.data.collate import build_masks
 from geoldm_tpu.data.datasets_config import DatasetInfo
+from geoldm_tpu.utils.buckets import covering_buckets
 
 # Multiples of 8 (TPU sublane alignment; unaligned pads cost relayouts).
 DEFAULT_BUCKETS = (32, 48, 64, 80, 104, 128, 184)
@@ -154,13 +155,7 @@ class GeomLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.include_charges = include_charges
-        max_n = dataset_info.max_n_nodes
-        # Buckets may exceed max_n_nodes (masks carry the real size); keep
-        # only the first bucket covering it.
-        covering = [b for b in sorted(set(buckets)) if b < max_n]
-        top = min((b for b in sorted(set(buckets)) if b >= max_n),
-                  default=-(-max_n // 8) * 8)
-        self.buckets = tuple(covering) + (top,)
+        self.buckets = covering_buckets(buckets, dataset_info.max_n_nodes)
         self.drop_last = shuffle if drop_last is None else drop_last
         self._rng = np.random.default_rng(seed)
         self.atomic_numbers = np.asarray(dataset_info.atomic_numbers, dtype=np.int64)

@@ -42,7 +42,8 @@ def rotate_chain(z: np.ndarray, n_steps: int = 30) -> np.ndarray:
     return np.concatenate(frames, axis=0)
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=32)  # sized so varied per-request few-step settings
+# (serve.py) don't evict warm executables
 def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str],
                     n_steps: Optional[int] = None, eta: float = 1.0,
                     method: str = "ddim"):
@@ -169,11 +170,18 @@ def sample_bucketed(
     n_steps: Optional[int] = None,
     eta: float = 1.0,
     method: str = "ddim",
+    chunk_pad: str = "pow2",
 ):
     """Size-bucketed generation: molecules are grouped by atom count and each
     group is padded only to its bucket boundary, cutting the O(N^2) edge work
     on the (dominant) small molecules. QM9's size distribution makes this
     ~2x faster than padding everything to max_n_nodes.
+
+    ``chunk_pad`` controls remainder-chunk batch padding: "pow2" (default)
+    rounds the last chunk of each bucket up to the next power of two —
+    bounded waste, a few compiled shapes; "full" pads every chunk to
+    ``batch_size`` so exactly ONE batch shape per bucket ever compiles
+    (what the serving path warms).
 
     Only a few (bucket, batch_size) shapes ever compile: each bucket is
     processed in fixed-size chunks, the last chunk padded by repeating sizes
@@ -209,11 +217,14 @@ def sample_bucketed(
             sizes = nodesxsample[chunk]
             n_real = len(sizes)
             if n_real < batch_size:
-                # Pad the remainder chunk up to the next power of two (not
-                # the full batch) — bounds padding waste at <2x on the last
-                # chunk while keeping the set of compiled shapes small.
-                bsz = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
-                bsz = min(bsz, batch_size)
+                if chunk_pad == "full":
+                    bsz = batch_size
+                else:
+                    # Pad the remainder chunk up to the next power of two
+                    # (not the full batch) — bounds padding waste at <2x on
+                    # the last chunk while keeping compiled shapes few.
+                    bsz = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+                    bsz = min(bsz, batch_size)
                 sizes = np.concatenate(
                     [sizes, np.full(bsz - n_real, sizes[-1], dtype=sizes.dtype)]
                 )

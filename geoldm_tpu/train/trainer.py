@@ -27,6 +27,7 @@ from geoldm_tpu.models.distributions import DistributionNodes
 from geoldm_tpu.train import sampling as sampling_mod
 from geoldm_tpu.train.augment import random_rotation
 from geoldm_tpu.train.conditioning import prepare_context
+from geoldm_tpu.utils.buckets import covering_buckets
 
 
 def prepare_batch(
@@ -365,12 +366,8 @@ def analyze_and_save(
     # bucket boundary, cutting the O(N^2) edge work (~2x on QM9, ~1.5x on
     # GEOM vs coarse buckets — buckets are matched per dataset).
     max_n = pad_nodes or dataset_info["max_n_nodes"]
-    # Top bucket is 8-aligned (GEOM's 181 -> 184): unaligned N forces
-    # relayouts on TPU; masks carry the real size so outputs are identical.
-    top = -(-max_n // 8) * 8
-    buckets = tuple(
-        b for b in sampling_mod.default_buckets(dataset_info) if b < top
-    ) + (top,)
+    buckets = covering_buckets(
+        sampling_mod.default_buckets(dataset_info), max_n)
     t0 = time.time()
     one_hot, charges, x, node_mask = sampling_mod.sample_bucketed(
         model_cfg, params, key, dataset_info, nodesxsample,

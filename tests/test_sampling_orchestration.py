@@ -196,6 +196,40 @@ def test_sample_bucketed():
     np.testing.assert_allclose(one_hot.sum(-1) * node_mask[..., 0], node_mask[..., 0])
 
 
+def test_covering_buckets():
+    from geoldm_tpu.utils.buckets import covering_buckets
+
+    # QM9: max 29 -> top bucket 32 (8-aligned), below-max buckets kept
+    assert covering_buckets((16, 24, 32), 29) == (16, 24, 32)
+    assert covering_buckets((16, 24), 29) == (16, 24, 32)
+    # GEOM: a configured bucket covering max_n is used as the top as-is
+    assert covering_buckets((32, 48, 64, 96, 136, 184), 181) == \
+        (32, 48, 64, 96, 136, 184)
+    # buckets past the covering top are dropped, duplicates collapse
+    assert covering_buckets((8, 16, 16, 64), 10) == (8, 16)
+    assert covering_buckets((), 13) == (16,)
+
+
+def test_sample_bucketed_full_chunk_pad():
+    """chunk_pad='full' (the serving path) pads remainder chunks to the
+    full batch and returns identical molecules for identical keys."""
+    cfg = tiny_cfg()
+    params = factory.init_params(jax.random.key(0), cfg)
+    nodesxsample = np.array([5, 12, 20, 7, 15])  # 4+1 at batch_size 4
+    outs = [
+        S.sample_bucketed(
+            cfg, params, jax.random.key(1), INFO, nodesxsample, batch_size=4,
+            buckets=(8, 16, 29), rng=np.random.default_rng(0), chunk_pad=cp,
+        )
+        for cp in ("full", "full")
+    ]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+    one_hot, charges, x, node_mask = outs[0]
+    np.testing.assert_array_equal(node_mask[..., 0].sum(1), nodesxsample)
+    assert np.all(np.isfinite(x))
+
+
 @pytest.mark.slow
 def test_sample_bucketed_few_step():
     """Bucketed generation composes with the strided DDIM sampler."""

@@ -99,6 +99,21 @@ def test_sample_dense_protocol_override(server):
     assert body["sampler"]["protocol"] == "dense-T"
 
 
+def test_unseeded_requests_are_fresh(server):
+    """Two requests without an explicit seed must draw different molecules
+    (a per-request counter is mixed into the base seed), and each response
+    echoes the seed it used so the draw is reproducible."""
+    base, _ = server
+    code1, b1 = _request(base, "/sample", {"n_samples": 2})
+    code2, b2 = _request(base, "/sample", {"n_samples": 2})
+    assert code1 == code2 == 200
+    assert b1["seed"] != b2["seed"]
+    assert b1["molecules"] != b2["molecules"]
+    # replaying the echoed seed reproduces the first draw exactly
+    code3, b3 = _request(base, "/sample", {"n_samples": 2, "seed": b1["seed"]})
+    assert code3 == 200 and b3["molecules"] == b1["molecules"]
+
+
 def test_validation_errors(server):
     base, _ = server
     code, body = _request(base, "/sample", {"sizes": []})
@@ -109,6 +124,13 @@ def test_validation_errors(server):
     assert code == 400
     code, body = _request(base, "/nope", {})
     assert code == 404
+    # malformed bodies must still get an HTTP reply, not a dropped socket
+    code, body = _request(base, "/sample", [1, 2, 3])
+    assert code == 400 and "JSON object" in body["error"]
+    code, body = _request(base, "/sample", {"n_samples": [5]})
+    assert code == 400
+    code, body = _request(base, "/sample", {"sizes": "abc"})
+    assert code == 400
 
 
 def test_metrics_accumulate(server):
