@@ -74,6 +74,10 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--augment_noise", type=float, default=0.0)
+    p.add_argument("--context_dropout", type=float, default=0.0,
+                   help="classifier-free guidance training: probability of "
+                        "nulling a molecule's conditioning context per step "
+                        "(enables --cfg_scale at sampling time)")
     p.add_argument("--n_stability_samples", type=int, default=500)
     p.add_argument("--eval_n_steps", type=int, default=None,
                    help="few-step DDIM sampling for the PERIODIC in-training "
@@ -111,6 +115,10 @@ def build_model_config(args, dataset_info):
         include_charges=args.include_charges,
         remat=remat,
         context_node_nf=len(args.conditioning),
+        # CFG training disambiguates its null from the mean property via a
+        # trailing is-conditioned channel (config.ModelConfig docstring).
+        context_indicator=bool(args.conditioning
+                               and getattr(args, "context_dropout", 0.0) > 0),
         nf=args.nf,
         n_layers=args.n_layers,
         attention=args.attention,
@@ -181,6 +189,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
         test_epochs=args.test_epochs,
         n_stability_samples=args.n_stability_samples,
         augment_noise=args.augment_noise,
+        context_dropout=getattr(args, "context_dropout", 0.0),
         data_augmentation=args.data_augmentation,
         break_train_epoch=args.break_train_epoch,
         seed=args.seed,
@@ -332,6 +341,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
             conditioning=args.conditioning, property_norms=property_norms,
             augment_noise=args.augment_noise,
             data_augmentation=args.data_augmentation,
+            context_indicator=model_cfg.context_indicator,
             break_train_epoch=args.break_train_epoch,
             logger=logger, log_every=args.n_report_steps, rng=rng, mesh=mesh,
         )
@@ -384,6 +394,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
             nll_val = trainer_mod.evaluate_nll(
                 eval_params, eval_nll, loaders["valid"], nodes_dist, v_key,
                 conditioning=args.conditioning, property_norms=property_norms,
+                context_indicator=model_cfg.context_indicator,
                 partition="valid", augment_noise=args.augment_noise, rng=rng,
                 mesh=mesh,
             )
@@ -399,6 +410,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                 nll_test = trainer_mod.evaluate_nll(
                     eval_params, eval_nll, loaders["test"], nodes_dist, t_key,
                     conditioning=args.conditioning, property_norms=property_norms,
+                    context_indicator=model_cfg.context_indicator,
                     partition="test", augment_noise=args.augment_noise, rng=rng,
                     mesh=mesh,
                 )

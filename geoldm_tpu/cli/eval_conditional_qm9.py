@@ -37,6 +37,14 @@ def parse_args(argv=None):
                         "split instead of the static QM9 table (needed for "
                         "generators trained on non-QM9/synthetic data)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cfg_scale", type=float, default=1.0,
+                   help="classifier-free guidance scale for the edm task "
+                        "(1.0 = plain conditional; needs a generator trained "
+                        "with --context_dropout > 0)")
+    p.add_argument("--clip_z", type=float, default=0.0,
+                   help="per-step dynamic-range guard on the sampler state "
+                        "(vdm.vdm_sample clip_z); recommended ~15 with "
+                        "--cfg_scale > 1, 0 = reference protocol")
     return p.parse_args(argv)
 
 
@@ -121,6 +129,7 @@ def main(argv=None):
             one_hot, charges, x, node_mask = sampling_mod.sample(
                 model_cfg, params, sub, info, nodesxsample, context=ctx_norm,
                 pad_nodes=pad_nodes, rng=rng,
+                guidance_scale=args.cfg_scale, clip_z=args.clip_z,
             )
             _, edge_mask = build_masks(node_mask[..., 0].sum(1).astype(int),
                                        node_mask.shape[1])

@@ -140,6 +140,13 @@ class ModelConfig:
     dynamics: Optional[DynamicsConfig] = None
     vae: Optional[VAEConfig] = None
     trainable_ae: bool = False
+    # Context carries a trailing is-conditioned channel (1 = conditioned,
+    # 0 = null): disambiguates the classifier-free-guidance null condition
+    # from "property equals the dataset mean" (properties are mean/MAD
+    # normalized, so an all-zero property context IS the mean). Set by the
+    # factories when context_indicator=True; context_node_nf then includes
+    # the extra channel.
+    context_indicator: bool = False
 
 
 @dataclass(frozen=True)
@@ -171,6 +178,10 @@ class TrainConfig:
     n_stability_samples: int = 500
     augment_noise: float = 0.0
     data_augmentation: bool = False
+    # Classifier-free guidance training: probability of replacing a
+    # molecule's context with the all-zero null condition per step, so
+    # sampling can apply guidance_scale != 1 (vdm.guided_eps). 0 = off.
+    context_dropout: float = 0.0
     break_train_epoch: bool = False
     seed: int = 0
     # Mixed precision for the EGNN compute path ('float32' or 'bfloat16').

@@ -144,16 +144,19 @@ def ldm_sample(
     n_steps: Optional[int] = None,
     eta: float = 1.0,
     method: str = "ddim",
+    guidance_scale: float = 1.0,
+    clip_z: float = 0.0,
 ):
     """Diffuse in latent space, then decode with the VAE.
 
-    ``n_steps``/``eta``/``method`` select the strided few-step sampler (see
-    vdm.vdm_sample). reference: en_diffusion.py:1194-1204."""
+    ``n_steps``/``eta``/``method`` select the strided few-step sampler and
+    ``guidance_scale`` classifier-free guidance (see vdm.vdm_sample).
+    reference: en_diffusion.py:1194-1204."""
     k_diff, _ = jax.random.split(key)
     z_x, z_cat, z_int = vdm.vdm_sample(
         params, cfg, dyn_cfg, k_diff, node_mask, edge_mask, context, fix_noise,
         compute_dtype, latent_space=True, n_steps=n_steps, eta=eta,
-        method=method,
+        method=method, guidance_scale=guidance_scale, clip_z=clip_z,
     )
     z_xh = jnp.concatenate([z_x, z_cat, z_int], axis=2)
     return vae_mod.decode(

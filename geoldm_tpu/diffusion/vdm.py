@@ -422,9 +422,36 @@ def sample_normal(key, mu, sigma, node_mask, n_dims, feat_nf, fix_noise=False):
     return mu + sigma * eps
 
 
+def guided_eps(
+    params, dyn_cfg, t, z, node_mask, edge_mask, context, compute_dtype,
+    guidance_scale: float = 1.0,
+):
+    """Denoiser eps-hat with classifier-free guidance (Ho & Salimans,
+    "Classifier-Free Diffusion Guidance", 2022) — beyond the reference,
+    which has no guidance mechanism.
+
+    ``guidance_scale`` w blends the conditional and unconditional scores:
+    eps = eps_uncond + w * (eps_cond - eps_uncond). w=1 (or context=None)
+    is the plain conditional model; the branch resolves at trace time, so
+    the default compiles to a single denoiser call. The null condition is
+    the all-zero context — exactly what ``--context_dropout`` training
+    shows the model (train/train_step.py)."""
+    eps = dynamics_apply(
+        params["dynamics"], dyn_cfg, t, z, node_mask, edge_mask, context,
+        compute_dtype,
+    )
+    if context is None or guidance_scale == 1.0:
+        return eps
+    eps_u = dynamics_apply(
+        params["dynamics"], dyn_cfg, t, z, node_mask, edge_mask,
+        jnp.zeros_like(context), compute_dtype,
+    )
+    return eps_u + guidance_scale * (eps - eps_u)
+
+
 def sample_p_zs_given_zt(
     params, cfg, dyn_cfg, gamma_fn, key, s, t, zt, node_mask, edge_mask, context,
-    fix_noise=False, compute_dtype=None,
+    fix_noise=False, compute_dtype=None, guidance_scale: float = 1.0,
 ):
     """One ancestral step zs ~ p(z_s | z_t). reference: en_diffusion.py:716-747."""
     gamma_s = gamma_fn(s)
@@ -435,9 +462,9 @@ def sample_p_zs_given_zt(
     sigma_s = S.sigma(gamma_s, zt.ndim)
     sigma_t = S.sigma(gamma_t, zt.ndim)
 
-    eps_t = dynamics_apply(
-        params["dynamics"], dyn_cfg, t, zt, node_mask, edge_mask, context,
-        compute_dtype,
+    eps_t = guided_eps(
+        params, dyn_cfg, t, zt, node_mask, edge_mask, context, compute_dtype,
+        guidance_scale,
     )
 
     mu = zt / alpha_t_given_s - (sigma2_t_given_s / alpha_t_given_s / sigma_t) * eps_t
@@ -458,7 +485,7 @@ def sample_p_zs_given_zt(
 
 def sample_p_zs_given_zt_ddim(
     params, cfg, dyn_cfg, gamma_fn, key, s, t, zt, node_mask, edge_mask, context,
-    eta=0.0, fix_noise=False, compute_dtype=None,
+    eta=0.0, fix_noise=False, compute_dtype=None, guidance_scale: float = 1.0,
 ):
     """Generalized reverse jump z_t -> z_s for ANY s < t (DDIM family).
 
@@ -479,9 +506,9 @@ def sample_p_zs_given_zt_ddim(
     sigma_s = S.sigma(gamma_s, zt.ndim)
     sigma_t = S.sigma(gamma_t, zt.ndim)
 
-    eps_t = dynamics_apply(
-        params["dynamics"], dyn_cfg, t, zt, node_mask, edge_mask, context,
-        compute_dtype,
+    eps_t = guided_eps(
+        params, dyn_cfg, t, zt, node_mask, edge_mask, context, compute_dtype,
+        guidance_scale,
     )
     x_pred = compute_x_pred(cfg, eps_t, zt, gamma_t)
 
@@ -505,6 +532,7 @@ def sample_p_zs_given_zt_ddim(
 def sample_p_xh_given_z0(
     params, cfg, dyn_cfg, gamma_fn, key, z0, node_mask, edge_mask, context,
     fix_noise=False, compute_dtype=None, latent_space=False,
+    guidance_scale: float = 1.0,
 ):
     """Final decode step p(x, h | z_0).
 
@@ -516,9 +544,9 @@ def sample_p_xh_given_z0(
     gamma_0 = gamma_fn(zeros)
     # sigma_x = sqrt(sigma_0^2 / alpha_0^2) = SNR(-0.5 gamma_0)
     sigma_x = S.snr(-0.5 * gamma_0).reshape(b, 1, 1)
-    net_out = dynamics_apply(
-        params["dynamics"], dyn_cfg, zeros, z0, node_mask, edge_mask, context,
-        compute_dtype,
+    net_out = guided_eps(
+        params, dyn_cfg, zeros, z0, node_mask, edge_mask, context,
+        compute_dtype, guidance_scale,
     )
     mu_x = compute_x_pred(cfg, net_out, z0, gamma_0)
     xh = sample_normal(key, mu_x, sigma_x, node_mask, cfg.n_dims, cfg.in_node_nf, fix_noise)
@@ -555,6 +583,8 @@ def vdm_sample(
     n_steps: Optional[int] = None,
     eta: float = 1.0,
     method: str = "ddim",
+    guidance_scale: float = 1.0,
+    clip_z: float = 0.0,
 ):
     """Full reverse-diffusion sampling as one scanned, jittable program.
 
@@ -574,10 +604,31 @@ def vdm_sample(
       second-order multistep solver in data-prediction form; ``eta`` is
       ignored. Higher-order accuracy in the half-log-SNR variable
       lambda = -gamma/2 keeps quality at much smaller K than first order.
+
+    ``guidance_scale`` applies classifier-free guidance to every denoiser
+    evaluation (see ``guided_eps``); 1.0 (default) is the plain
+    conditional/unconditional model. ``clip_z`` > 0 clamps every reverse
+    step's state to [-clip_z, clip_z] (coordinates re-projected to zero
+    CoM afterwards) — a dynamic-range guard in the spirit of Imagen's
+    static thresholding (Saharia et al. 2022): guided (w > 1) or
+    sparse-data conditional scores can push rare trajectories off the
+    data manifold, and an unbounded excursion never recovers. 0 (default)
+    is the reference protocol, bit-identical to no guard.
     """
     if method not in ("ddim", "dpm2m"):
         raise ValueError(f"unknown sampling method {method!r}")
     gamma_fn = make_gamma_fn(cfg, params)
+
+    def _guard(z):
+        # Trace-time branch: clip_z=0 compiles to the identity.
+        if clip_z <= 0:
+            return z
+        zx = com.remove_mean_with_mask(
+            jnp.clip(z[:, :, : cfg.n_dims], -clip_z, clip_z) * node_mask,
+            node_mask,
+        )
+        zh = jnp.clip(z[:, :, cfg.n_dims :], -clip_z, clip_z)
+        return jnp.concatenate([zx, zh], axis=2) * node_mask
     b = node_mask.shape[0]
     k_init, k_scan, k_final = jax.random.split(key, 3)
 
@@ -639,9 +690,9 @@ def vdm_sample(
                     lam_s = S.inflate(-0.5 * gamma_s, z.ndim)
                     lam_t = S.inflate(-0.5 * gamma_t, z.ndim)
                     h = lam_s - lam_t  # > 0: lambda grows as t decreases
-                    eps_t = dynamics_apply(
-                        params["dynamics"], dyn_cfg, t_arr, z, node_mask,
-                        edge_mask, context, step_dtype,
+                    eps_t = guided_eps(
+                        params, dyn_cfg, t_arr, z, node_mask, edge_mask,
+                        context, step_dtype, guidance_scale,
                     )
                     x_t = compute_x_pred(cfg, eps_t, z, gamma_t)
                     c = not_first * (h / (2.0 * h_prev))
@@ -656,7 +707,7 @@ def vdm_sample(
                         ],
                         axis=2,
                     ) * node_mask
-                    return (z_s, x_t, h, jnp.ones(())), None
+                    return (_guard(z_s), x_t, h, jnp.ones(())), None
 
                 return step
 
@@ -672,8 +723,9 @@ def vdm_sample(
                     z = sample_p_zs_given_zt_ddim(
                         params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z,
                         node_mask, edge_mask, context, eta, fix_noise, step_dtype,
+                        guidance_scale,
                     )
-                    return z, None
+                    return _guard(z), None
 
                 return step
 
@@ -702,8 +754,9 @@ def vdm_sample(
                 t_arr = jnp.full((b, 1), s_idx + 1, dtype=jnp.float32) / T
                 z = sample_p_zs_given_zt(
                     params, cfg, dyn_cfg, gamma_fn, k, s_arr, t_arr, z, node_mask,
-                    edge_mask, context, fix_noise, step_dtype,
+                    edge_mask, context, fix_noise, step_dtype, guidance_scale,
                 )
+                z = _guard(z)
                 if want_chain:
                     frame = unnormalize_z(cfg, z, node_mask) if not latent_space else z
                     return z, frame
@@ -730,7 +783,7 @@ def vdm_sample(
 
     x, h_cat, h_int = sample_p_xh_given_z0(
         params, cfg, dyn_cfg, gamma_fn, k_final, z, node_mask, edge_mask, context,
-        fix_noise, compute_dtype_final, latent_space,
+        fix_noise, compute_dtype_final, latent_space, guidance_scale,
     )
 
     # Final CoM-drift guard (reference: en_diffusion.py:789-793): always

@@ -64,6 +64,7 @@ def make_diffusion_model_config(
     include_charges: bool = True,
     condition_time: bool = True,
     context_node_nf: int = 0,
+    context_indicator: bool = False,
     nf: int = 256,
     n_layers: int = 9,
     attention: bool = True,
@@ -82,6 +83,8 @@ def make_diffusion_model_config(
     model: str = "egnn_dynamics",
 ) -> ModelConfig:
     """Plain E(n) diffusion over (x, h). reference: qm9/models.py:12-51."""
+    if context_indicator:
+        context_node_nf += 1  # trailing is-conditioned channel (CFG null)
     in_node_nf = len(dataset_info["atom_decoder"]) + int(include_charges)
     dyn_in = in_node_nf + int(condition_time)
     # gnn_dynamics consumes [x, h] concat and emits [vel, h]
@@ -119,7 +122,8 @@ def make_diffusion_model_config(
         norm_values=tuple(normalize_factors),
         include_charges=include_charges,
     )
-    return ModelConfig(kind="diffusion", diffusion=diffusion, dynamics=dynamics)
+    return ModelConfig(kind="diffusion", diffusion=diffusion, dynamics=dynamics,
+                       context_indicator=context_indicator)
 
 
 def make_vae_config(
@@ -127,6 +131,7 @@ def make_vae_config(
     *,
     include_charges: bool = True,
     context_node_nf: int = 0,
+    context_indicator: bool = False,
     nf: int = 256,
     n_layers: int = 9,
     latent_nf: int = 1,
@@ -142,6 +147,8 @@ def make_vae_config(
 ) -> ModelConfig:
     """First-stage VAE. The encoder always has n_layers=1
     (reference: qm9/models.py:69-77); the decoder uses the full depth."""
+    if context_indicator:
+        context_node_nf += 1  # trailing is-conditioned channel (CFG null)
     in_node_nf = len(dataset_info["atom_decoder"]) + int(include_charges)
     common = dict(
         attention=attention,
@@ -169,7 +176,8 @@ def make_vae_config(
         decoder_egnn=decoder_egnn,
         context_node_nf=context_node_nf,
     )
-    return ModelConfig(kind="vae", vae=vae)
+    return ModelConfig(kind="vae", vae=vae,
+                       context_indicator=context_indicator)
 
 
 def make_latent_diffusion_config(
@@ -178,6 +186,7 @@ def make_latent_diffusion_config(
     include_charges: bool = True,
     condition_time: bool = True,
     context_node_nf: int = 0,
+    context_indicator: bool = False,
     nf: int = 256,
     n_layers: int = 9,
     latent_nf: int = 1,
@@ -203,6 +212,8 @@ def make_latent_diffusion_config(
     reference: qm9/models.py:103-166. The diffusion's in_node_nf is the
     latent dimension; include_charges semantics carry over so num_classes =
     latent_nf - include_charges (matching the reference's bookkeeping)."""
+    if context_indicator:
+        context_node_nf += 1  # trailing is-conditioned channel (CFG null)
     vae_model = make_vae_config(
         dataset_info,
         include_charges=include_charges,
@@ -260,6 +271,7 @@ def make_latent_diffusion_config(
         dynamics=dynamics,
         vae=vae_model.vae,
         trainable_ae=trainable_ae,
+        context_indicator=context_indicator,
     )
 
 
@@ -309,12 +321,14 @@ def model_nll_fn(model_cfg: ModelConfig, training: bool, compute_dtype=None):
 
 
 def model_sample_fn(model_cfg: ModelConfig, compute_dtype=None,
-                    n_steps=None, eta: float = 1.0, method: str = "ddim"):
+                    n_steps=None, eta: float = 1.0, method: str = "ddim",
+                    guidance_scale: float = 1.0, clip_z: float = 0.0):
     """Return sample(params, key, node_mask, edge_mask, context, fix_noise)
     -> (x, h_cat, h_int) for generative model kinds.
 
-    ``n_steps``/``eta``/``method`` (static, baked into the closure) select
-    the strided few-step sampler — beyond the reference."""
+    ``n_steps``/``eta``/``method``/``guidance_scale`` (static, baked into
+    the closure) select the strided few-step sampler and classifier-free
+    guidance — beyond the reference."""
     if model_cfg.kind == "diffusion":
 
         def sample(params, key, node_mask, edge_mask, context=None, fix_noise=False):
@@ -322,6 +336,7 @@ def model_sample_fn(model_cfg: ModelConfig, compute_dtype=None,
                 params, model_cfg.diffusion, model_cfg.dynamics, key, node_mask,
                 edge_mask, context, fix_noise, compute_dtype,
                 n_steps=n_steps, eta=eta, method=method,
+                guidance_scale=guidance_scale, clip_z=clip_z,
             )
 
         return sample
@@ -332,6 +347,7 @@ def model_sample_fn(model_cfg: ModelConfig, compute_dtype=None,
                 params, model_cfg.diffusion, model_cfg.dynamics, model_cfg.vae, key,
                 node_mask, edge_mask, context, fix_noise, compute_dtype,
                 n_steps=n_steps, eta=eta, method=method,
+                guidance_scale=guidance_scale, clip_z=clip_z,
             )
 
         return sample

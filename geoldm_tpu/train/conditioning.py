@@ -45,11 +45,16 @@ def prepare_context(
     conditioning: Sequence[str],
     batch: Dict[str, np.ndarray],
     property_norms: Dict[str, Dict[str, float]],
+    indicator: bool = False,
 ) -> np.ndarray:
     """[B, N, context_nf] per-node context from batch properties.
 
     Global (per-molecule) properties broadcast over nodes; per-node
     properties pass through. Masked at padding.
+    ``indicator`` appends a trailing all-ones is-conditioned channel
+    (models built with context_indicator=True): the classifier-free
+    guidance null (all zeros, see train_step context_dropout and
+    vdm.guided_eps) is then distinguishable from a mean-valued property.
     reference: qm9/utils.py:56-89."""
     node_mask = batch["node_mask"]
     b, n = node_mask.shape[0], node_mask.shape[1]
@@ -65,6 +70,8 @@ def prepare_context(
             pieces.append(props[..., None] if props.ndim == 2 else props)
         else:
             raise ValueError(f"invalid property shape {props.shape}")
+    if indicator:
+        pieces.append(np.ones((b, n, 1), dtype=np.float32))
     context = np.concatenate(pieces, axis=2).astype(np.float32)
     return context * node_mask
 

@@ -46,12 +46,14 @@ def rotate_chain(z: np.ndarray, n_steps: int = 30) -> np.ndarray:
 # (serve.py) don't evict warm executables
 def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str],
                     n_steps: Optional[int] = None, eta: float = 1.0,
-                    method: str = "ddim"):
+                    method: str = "ddim", guidance_scale: float = 1.0,
+                    clip_z: float = 0.0):
     from geoldm_tpu.nn.core import resolve_compute
 
     spec = resolve_compute(compute_dtype_name)
     fn = factory.model_sample_fn(model_cfg, compute_dtype=spec,
-                                 n_steps=n_steps, eta=eta, method=method)
+                                 n_steps=n_steps, eta=eta, method=method,
+                                 guidance_scale=guidance_scale, clip_z=clip_z)
     return jax.jit(fn, static_argnames=("fix_noise",))
 
 
@@ -72,6 +74,8 @@ def sample(
     n_steps: Optional[int] = None,
     eta: float = 1.0,
     method: str = "ddim",
+    guidance_scale: float = 1.0,
+    clip_z: float = 0.0,
 ):
     """Generate molecules with the requested atom counts.
 
@@ -110,6 +114,15 @@ def sample(
             context = np.broadcast_to(
                 context[:, None, :], (len(nodesxsample), max_n_nodes, context.shape[-1])
             )
+        want = (model_cfg.dynamics.context_node_nf
+                if model_cfg.dynamics is not None
+                else model_cfg.vae.context_node_nf)
+        if (getattr(model_cfg, "context_indicator", False)
+                and context.shape[-1] == want - 1):
+            # Callers pass property-only context; append the trailing
+            # is-conditioned channel (see conditioning.prepare_context).
+            context = np.concatenate(
+                [context, np.ones_like(context[..., :1])], axis=2)
         context_dev = jnp.asarray(context * node_mask_np)
 
     node_mask_dev = jnp.asarray(node_mask_np)
@@ -123,7 +136,8 @@ def sample(
         if context_dev is not None:
             context_dev = jax.device_put(context_dev, shd.batch_sharding(mesh))
 
-    sampler = _jitted_sampler(model_cfg, compute_dtype, n_steps, eta, method)
+    sampler = _jitted_sampler(model_cfg, compute_dtype, n_steps, eta, method,
+                              guidance_scale, clip_z)
     x, h_cat, h_int = sampler(
         params, key, node_mask_dev, edge_mask_dev,
         context_dev, fix_noise=fix_noise,
@@ -171,6 +185,8 @@ def sample_bucketed(
     eta: float = 1.0,
     method: str = "ddim",
     chunk_pad: str = "pow2",
+    guidance_scale: float = 1.0,
+    clip_z: float = 0.0,
 ):
     """Size-bucketed generation: molecules are grouped by atom count and each
     group is padded only to its bucket boundary, cutting the O(N^2) edge work
@@ -233,7 +249,7 @@ def sample_bucketed(
                 model_cfg, params, sub, dataset_info, sizes, prop_dist=prop_dist,
                 fix_noise=fix_noise, pad_nodes=pad, compute_dtype=compute_dtype,
                 rng=rng, mesh=mesh, as_numpy=False, n_steps=n_steps, eta=eta,
-                method=method,
+                method=method, guidance_scale=guidance_scale, clip_z=clip_z,
             )
             pending.append((chunk, pad, n_real, res))
     # All chunks are dispatched before any device->host sync: jax's async

@@ -64,8 +64,20 @@ def make_train_step(
     """Build the pure train_step(state, batch, key) -> (state, metrics)."""
     nll_fn = factory.model_nll_fn(model_cfg, training=True, compute_dtype=compute_dtype)
     ema_decay = train_cfg.ema_decay
+    ctx_drop = float(getattr(train_cfg, "context_dropout", 0.0))
 
     def loss_fn(params, batch, key):
+        context = batch.get("context")
+        if context is not None and ctx_drop > 0.0:
+            # Classifier-free guidance training (Ho & Salimans 2022):
+            # per molecule, replace the context with the all-zero null
+            # condition with probability context_dropout, so the one model
+            # learns both scores and sampling can blend them
+            # (vdm.guided_eps).
+            key, k_drop = jax.random.split(key)
+            keep = jax.random.bernoulli(
+                k_drop, 1.0 - ctx_drop, (context.shape[0], 1, 1))
+            context = context * keep.astype(context.dtype)
         nll = nll_fn(
             params,
             key,
@@ -74,7 +86,7 @@ def make_train_step(
             batch["h_int"],
             batch["node_mask"],
             batch["edge_mask"],
-            batch.get("context"),
+            context,
         )
         nll = nll - batch["log_pN"]
         return jnp.mean(nll)

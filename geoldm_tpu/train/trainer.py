@@ -38,6 +38,7 @@ def prepare_batch(
     augment_noise: float = 0.0,
     data_augmentation: bool = False,
     rng: Optional[np.random.Generator] = None,
+    context_indicator: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Host-side batch prep: log p(N), optional augmentation, context.
 
@@ -63,7 +64,8 @@ def prepare_batch(
         "log_pN": nodes_dist.log_prob(raw["n_atoms"]).astype(np.float32),
     }
     if conditioning:
-        batch["context"] = prepare_context(conditioning, raw, property_norms)
+        batch["context"] = prepare_context(conditioning, raw, property_norms,
+                                           indicator=context_indicator)
     return jax.tree.map(jnp.asarray, batch)
 
 
@@ -79,6 +81,7 @@ def train_epoch(
     property_norms=None,
     augment_noise: float = 0.0,
     data_augmentation: bool = False,
+    context_indicator: bool = False,
     break_train_epoch: bool = False,
     logger=None,
     log_every: int = 50,
@@ -100,7 +103,7 @@ def train_epoch(
     for i, raw in enumerate(loader):
         batch = prepare_batch(
             raw, nodes_dist, conditioning, property_norms, augment_noise,
-            data_augmentation, rng,
+            data_augmentation, rng, context_indicator=context_indicator,
         )
         if mesh is not None and mesh.size > 1:
             dp = mesh.shape[shd.DATA_AXIS]
@@ -154,6 +157,7 @@ def evaluate_nll(
     property_norms=None,
     partition: str = "valid",
     augment_noise: float = 0.0,
+    context_indicator: bool = False,
     rng=None,
     mesh=None,
 ) -> float:
@@ -177,7 +181,8 @@ def evaluate_nll(
     nominal = getattr(loader, "batch_size", 0)
     for raw in loader:
         batch = prepare_batch(raw, nodes_dist, conditioning, property_norms,
-                              augment_noise=augment_noise, rng=rng)
+                              augment_noise=augment_noise, rng=rng,
+                              context_indicator=context_indicator)
         b = batch["x"].shape[0]
         if mesh is not None and mesh.size > 1:
             dp = mesh.shape[shd.DATA_AXIS]

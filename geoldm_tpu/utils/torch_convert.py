@@ -256,6 +256,13 @@ def reference_args_from_model_config(model_cfg, dataset: str = "qm9",
     import argparse
 
     kind = model_cfg.kind
+    if getattr(model_cfg, "context_indicator", False):
+        raise ValueError(
+            "this checkpoint was trained with the CFG is-conditioned "
+            "context channel (context_indicator=True); the reference has "
+            "no equivalent — its context_node_nf would not match "
+            "len(conditioning)"
+        )
     if kind == "diffusion":
         raise ValueError(
             "the reference args.pickle layout has no pure-VDM shape "

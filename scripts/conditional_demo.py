@@ -81,6 +81,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--diffusion_steps", type=int, default=100)
     ap.add_argument("--eval_iterations", type=int, default=4)
     ap.add_argument("--eval_batch", type=int, default=100)
+    ap.add_argument("--context_dropout", type=float, default=0.0,
+                    help="train the generator with classifier-free-guidance "
+                         "context dropout (enables --cfg_scales)")
+    ap.add_argument("--cfg_scales", type=float, nargs="*", default=[],
+                    help="extra guidance scales to score with task=edm "
+                         "(e.g. 2 4); meaningful with --context_dropout > 0")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "docs", "CONDITIONAL_DEMO.md"))
     args = ap.parse_args(argv)
@@ -108,6 +114,7 @@ def main(argv=None) -> dict:
         "--diffusion_steps", str(args.diffusion_steps),
         "--n_stability_samples", "8",
         "--ema_decay", "0.99",
+        "--context_dropout", str(args.context_dropout),
         "--no_wandb",
     ])
     t_gen = time.time() - t0
@@ -142,6 +149,11 @@ def main(argv=None) -> dict:
     mae_edm = eval_conditional_qm9.main(common + ["--task", "edm"])
     mae_naive = eval_conditional_qm9.main(common + ["--task", "naive"])
     mae_qm9 = eval_conditional_qm9.main(common + ["--task", "qm9"])
+    mae_cfg = {
+        w: eval_conditional_qm9.main(
+            common + ["--task", "edm", "--cfg_scale", str(w)])
+        for w in args.cfg_scales if w != 1.0
+    }
     t_eval = time.time() - t0
 
     result = {
@@ -150,6 +162,9 @@ def main(argv=None) -> dict:
         "mae_data_floor": mae_qm9,
         "beats_naive": bool(mae_edm < mae_naive),
     }
+    if mae_cfg:
+        result["mae_cfg"] = mae_cfg
+        result["best_cfg"] = min(mae_cfg, key=mae_cfg.get)
     lines = [
         "# Conditional generation: learning demonstration",
         "",
@@ -171,6 +186,9 @@ def main(argv=None) -> dict:
         "|---|---|---|",
         f"| qm9 (classifier on real data) | {mae_qm9:.4f} | floor: classifier quality |",
         f"| **edm (conditioned generation)** | **{mae_edm:.4f}** | generator steered by the condition |",
+        *[f"| edm + CFG w={w:g} | {m:.4f} | classifier-free guidance "
+          f"(context_dropout={args.context_dropout:g}) |"
+          for w, m in sorted(mae_cfg.items())],
         f"| naive (shuffled labels) | {mae_naive:.4f} | what ignoring the condition scores |",
         "",
         f"**Conditioned MAE {'<' if result['beats_naive'] else '>='} naive MAE** — "
