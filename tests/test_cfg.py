@@ -9,6 +9,7 @@ condition.
 
 import jax
 import numpy as np
+import pytest
 
 from geoldm_tpu.config import TrainConfig
 from geoldm_tpu.data.collate import build_masks
@@ -63,6 +64,7 @@ def test_guidance_scale_zero_is_unconditional():
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_guidance_changes_output_and_composes_with_fewstep():
     cfg = tiny_cfg()
     params = factory.init_params(jax.random.key(0), cfg)
@@ -77,6 +79,7 @@ def test_guidance_changes_output_and_composes_with_fewstep():
         np.testing.assert_allclose(x.sum(axis=1), 0.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_clip_z_guard():
     """clip_z bounds the sampler state: a generous bound is numerically
     the identity, an aggressive bound shrinks the output scale, and the
