@@ -17,6 +17,13 @@ Endpoints:
                     per-molecule atom lists [[element, x, y, z], ...] plus
                     stability verdicts; "xyz" gives xyz-format text blocks.
 
+Conditional checkpoints (launch with --datadir + --conditioning): requests
+may add {"properties": {"alpha": 75.0, ...}} in raw units (the server
+normalizes with the training-split mean/MAD and steers every molecule to
+those values) — omitted, properties are drawn from the data's
+property-given-size distribution. Per-request {"cfg_scale": w,
+"clip_z": R} select classifier-free guidance and the dynamic-range guard.
+
 Device calls are serialized with a lock (one chip, one compiled program at
 a time); request handling itself is threaded so health/metrics stay
 responsive during generation.
@@ -51,6 +58,17 @@ def parse_args(argv=None):
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "dpm2m"])
     p.add_argument("--use_ema", type=eval, default=True)
+    p.add_argument("--datadir", type=str, default=None,
+                   help="dataset dir (REQUIRED for conditional checkpoints: "
+                        "property normalizers and the property-given-size "
+                        "distribution come from the training split)")
+    p.add_argument("--conditioning", nargs="+", default=[],
+                   help="property names the checkpoint was conditioned on")
+    p.add_argument("--cfg_scale", type=float, default=1.0,
+                   help="default classifier-free guidance scale for "
+                        "conditional requests")
+    p.add_argument("--clip_z", type=float, default=0.0,
+                   help="default per-step dynamic-range guard")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the startup warm-compile pass (first request "
                         "then pays the compile)")
@@ -91,6 +109,41 @@ class SamplerService:
             sampling_mod.default_buckets(self.dataset_info),
             self.dataset_info["max_n_nodes"])
 
+        # Conditional checkpoints: property normalizers + the
+        # property-given-size distribution come from the training split
+        # (same second-half convention as eval_conditional_qm9).
+        ctx_nf = (self.model_cfg.dynamics.context_node_nf
+                  if self.model_cfg.dynamics is not None
+                  else self.model_cfg.vae.context_node_nf)
+        n_props = ctx_nf - int(getattr(self.model_cfg, "context_indicator",
+                                       False))
+        self.prop_norms = self.prop_dist = None
+        self.conditioning = list(args.conditioning)
+        if n_props > 0:
+            if not (args.datadir and len(self.conditioning) == n_props):
+                raise SystemExit(
+                    f"conditional checkpoint ({n_props} property channel(s)):"
+                    " pass --datadir and --conditioning with exactly"
+                    f" {n_props} property name(s)")
+            from geoldm_tpu.data.qm9 import load_qm9
+            from geoldm_tpu.models.distributions import DistributionProperty
+            from geoldm_tpu.train.conditioning import compute_mean_mad
+
+            splits, _ = load_qm9(args.datadir, dataset="qm9_second_half")
+            self.prop_norms = compute_mean_mad(
+                splits, self.conditioning, "qm9_second_half")
+            self.prop_dist = DistributionProperty(
+                splits["train"]["num_atoms"],
+                {p: splits["train"][p] for p in self.conditioning})
+            self.prop_dist.set_normalizer(self.prop_norms)
+            # Molecule sizes come from the TRAINING split's histogram, not
+            # the canned dataset table: the checkpoint only ever saw the
+            # split's sizes, and out-of-range sizes generate garbage.
+            from collections import Counter
+
+            self.nodes_dist = DistributionNodes(
+                dict(Counter(int(n) for n in splits["train"]["num_atoms"])))
+
         self.device_lock = threading.Lock()
         self.metrics_lock = threading.Lock()
         self.requests = 0
@@ -116,11 +169,16 @@ class SamplerService:
             np.full(self.args.batch_max, min(b, self.dataset_info["max_n_nodes"]))
             for b in self.buckets
         ])
+        ctx = (self.prop_dist.sample_batch(sizes, np.random.default_rng(0))
+               if self.prop_dist is not None else None)
         self._generate(sizes, seed=0, n_steps=self.args.n_steps,
-                       eta=self.args.eta, method=self.args.sampler)
+                       eta=self.args.eta, method=self.args.sampler,
+                       context=ctx, cfg_scale=self.args.cfg_scale,
+                       clip_z=self.args.clip_z)
         return time.time() - t0
 
-    def _generate(self, sizes, seed, n_steps, eta, method):
+    def _generate(self, sizes, seed, n_steps, eta, method, context=None,
+                  cfg_scale=1.0, clip_z=0.0):
         import jax
         import numpy as np
 
@@ -129,9 +187,10 @@ class SamplerService:
                 self.model_cfg, self.params, jax.random.key(seed),
                 self.dataset_info, np.asarray(sizes, dtype=np.int64),
                 batch_size=self.args.batch_max, buckets=self.buckets,
-                compute_dtype=self.args.compute_dtype,
+                context=context, compute_dtype=self.args.compute_dtype,
                 rng=np.random.default_rng(seed), n_steps=n_steps, eta=eta,
-                method=method, chunk_pad="full",
+                method=method, chunk_pad="full", guidance_scale=cfg_scale,
+                clip_z=clip_z,
             )
         return one_hot, charges, x, node_mask
 
@@ -169,9 +228,39 @@ class SamplerService:
         n_steps = None if n_steps in (None, 0) else int(n_steps)
         eta = float(body.get("eta", self.args.eta))
         method = str(body.get("sampler", self.args.sampler))
+        cfg_scale = float(body.get("cfg_scale", self.args.cfg_scale))
+        clip_z = float(body.get("clip_z", self.args.clip_z))
+
+        ctx, props_used = None, None
+        if self.prop_dist is not None:
+            if "properties" in body:
+                # Raw-unit values, one per conditioned property; the
+                # server normalizes with the training-split mean/MAD.
+                props = body["properties"]
+                if not isinstance(props, dict):
+                    raise ValueError(
+                        "properties must be an object of "
+                        f"{{{', '.join(self.conditioning)}}} -> value")
+                cols = []
+                for name in self.conditioning:
+                    if name not in props:
+                        raise ValueError(f"properties is missing {name!r}")
+                    n0 = self.prop_norms[name]
+                    cols.append((float(props[name]) - n0["mean"]) / n0["mad"])
+                ctx = np.tile(np.asarray(cols, dtype=np.float32),
+                              (len(sizes), 1))
+                props_used = {k: float(props[k]) for k in self.conditioning}
+            else:
+                ctx = self.prop_dist.sample_batch(
+                    sizes, np.random.default_rng(seed))
+                props_used = "sampled-from-data-distribution"
+        elif "properties" in body:
+            raise ValueError("this checkpoint is unconditional — "
+                             "'properties' is not accepted")
 
         one_hot, charges, x, node_mask = self._generate(
-            sizes, seed, n_steps, eta, method)
+            sizes, seed, n_steps, eta, method, context=ctx,
+            cfg_scale=cfg_scale, clip_z=clip_z)
 
         decoder = self.dataset_info["atom_decoder"]
         fmt = body.get("format", "json")
@@ -209,6 +298,8 @@ class SamplerService:
                         else f"fewstep-{n_steps}"},
             "seed": seed,
             "seconds": round(elapsed, 4),
+            **({"properties": props_used, "cfg_scale": cfg_scale}
+               if self.prop_dist is not None else {}),
         }
 
     def health(self) -> dict:

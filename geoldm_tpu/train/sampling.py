@@ -177,6 +177,7 @@ def sample_bucketed(
     batch_size: int = 128,
     buckets=DEFAULT_SAMPLE_BUCKETS,
     prop_dist=None,
+    context: Optional[np.ndarray] = None,
     fix_noise: bool = False,
     compute_dtype: Optional[str] = None,
     rng: Optional[np.random.Generator] = None,
@@ -205,6 +206,11 @@ def sample_bucketed(
     the original molecule order.
     """
     nodesxsample = np.asarray(nodesxsample)
+    if context is not None:
+        # Explicit per-molecule [B, P] property rows (e.g. the serving
+        # path): sliced/padded alongside the sizes per chunk below.
+        context = np.asarray(context, dtype=np.float32)
+        assert context.ndim == 2 and len(context) == len(nodesxsample)
     # Bucket boundaries are rounded up to multiples of 8 (TPU sublane
     # alignment): unaligned N makes the kernel's [G*N*N, H] reshapes
     # layout-violating relayouts that blow up VMEM. Padding beyond the
@@ -244,9 +250,19 @@ def sample_bucketed(
                 sizes = np.concatenate(
                     [sizes, np.full(bsz - n_real, sizes[-1], dtype=sizes.dtype)]
                 )
+            ctx_chunk = None
+            if context is not None:
+                ctx_chunk = context[chunk]
+                if len(ctx_chunk) < len(sizes):  # pad like the sizes
+                    ctx_chunk = np.concatenate([
+                        ctx_chunk,
+                        np.repeat(ctx_chunk[-1:], len(sizes) - len(ctx_chunk),
+                                  axis=0),
+                    ])
             key, sub = jax.random.split(key)
             res = sample(
                 model_cfg, params, sub, dataset_info, sizes, prop_dist=prop_dist,
+                context=ctx_chunk,
                 fix_noise=fix_noise, pad_nodes=pad, compute_dtype=compute_dtype,
                 rng=rng, mesh=mesh, as_numpy=False, n_steps=n_steps, eta=eta,
                 method=method, guidance_scale=guidance_scale, clip_z=clip_z,

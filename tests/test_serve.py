@@ -133,6 +133,95 @@ def test_validation_errors(server):
     assert code == 400
 
 
+@pytest.fixture(scope="module")
+def cond_server(tmp_path_factory):
+    """Conditional checkpoint + fabricated datadir behind the server."""
+    from geoldm_tpu.cli import serve
+
+    tmp = tmp_path_factory.mktemp("cond_serve")
+    rng = np.random.default_rng(0)
+    datadir = tmp / "data"
+    (datadir / "qm9").mkdir(parents=True)
+    for split, m in (("train", 64), ("valid", 16), ("test", 16)):
+        num_atoms = rng.integers(4, 10, size=m)
+        charges = np.zeros((m, 29), dtype=np.int64)
+        pos = np.zeros((m, 29, 3), dtype=np.float32)
+        for i, na in enumerate(num_atoms):
+            charges[i, :na] = rng.choice([1, 6, 7, 8, 9], size=na)
+            pos[i, :na] = rng.normal(size=(na, 3))
+        np.savez(datadir / "qm9" / f"{split}.npz", num_atoms=num_atoms,
+                 charges=charges, positions=pos,
+                 alpha=rng.normal(70, 8, size=m).astype(np.float32),
+                 mu=rng.normal(size=m).astype(np.float32),
+                 U0=rng.normal(size=m).astype(np.float32),
+                 U0_thermo=rng.normal(size=m).astype(np.float32))
+
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6,
+        context_node_nf=1, context_indicator=True,
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    path = str(tmp / "gen")
+    ckpt.save_checkpoint(path, {"params": params, "ema_params": params}, cfg,
+                         name="best")
+    srv, service = serve.main(
+        ["--model_path", path, "--port", "0", "--batch_max", "8",
+         "--compute_dtype", "float32", "--n_steps", "3", "--no_warmup",
+         "--datadir", str(datadir), "--conditioning", "alpha"],
+        serve_forever=False,
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", service
+    srv.shutdown()
+
+
+def test_conditional_serving(cond_server):
+    base, service = cond_server
+    # Explicit property values in raw units, with guidance + guard knobs.
+    code, body = _request(base, "/sample", {
+        "n_samples": 2, "seed": 4, "properties": {"alpha": 75.0},
+        "cfg_scale": 2.0, "clip_z": 15.0,
+    })
+    assert code == 200 and body["n"] == 2
+    assert body["properties"] == {"alpha": 75.0}
+    assert body["cfg_scale"] == 2.0
+    # Omitted properties: drawn from the data distribution; sizes come
+    # from the TRAINING split's histogram (4..9 atoms here), not the
+    # canned QM9 table (up to 29).
+    code, body = _request(base, "/sample", {"n_samples": 4, "seed": 4})
+    assert code == 200
+    assert body["properties"] == "sampled-from-data-distribution"
+    assert max(len(m) for m in body["molecules"]) <= 9
+    # Validation: wrong property name -> 400 with a readable message.
+    code, body = _request(base, "/sample",
+                          {"n_samples": 1, "properties": {"mu": 1.0}})
+    assert code == 400 and "alpha" in body["error"]
+
+
+def test_conditional_checkpoint_requires_datadir(tmp_path):
+    from geoldm_tpu.cli import serve
+
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6,
+        context_node_nf=1,
+    )
+    params = factory.init_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "gen")
+    ckpt.save_checkpoint(path, {"params": params, "ema_params": params}, cfg,
+                         name="best")
+    with pytest.raises(SystemExit, match="conditional checkpoint"):
+        serve.main(["--model_path", path, "--port", "0", "--no_warmup"],
+                   serve_forever=False)
+
+
+def test_unconditional_rejects_properties(server):
+    base, _ = server
+    code, body = _request(base, "/sample",
+                          {"n_samples": 1, "properties": {"alpha": 1.0}})
+    assert code == 400 and "unconditional" in body["error"]
+
+
 def test_metrics_accumulate(server):
     base, service = server
     code, body = _request(base, "/metrics")
