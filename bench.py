@@ -419,7 +419,37 @@ def _bench_recipe(dataset: str, device_kind: str) -> dict:
     return metrics
 
 
+def _wait_for_backend() -> None:
+    """Pre-flight the accelerator in a child interpreter with bounded
+    retries. The TPU tunnel can be transiently down (observed: backend
+    init 'UNAVAILABLE' for an extended window) and a failed backend init
+    is cached for the life of the process — so probe in a subprocess and
+    only import jax here once a probe succeeds. Bounded: ~3 extra
+    minutes worst-case, then proceed and let the real error surface.
+    Opt out with GEOLDM_BENCH_NO_PREFLIGHT=1."""
+    import subprocess
+
+    if os.environ.get("GEOLDM_BENCH_NO_PREFLIGHT") == "1":
+        return
+    probe = ("import jax, jax.numpy as jnp; "
+             "jnp.ones((8, 8)).sum().block_until_ready(); print('ok')")
+    for attempt in range(3):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=240)
+            if r.returncode == 0:
+                return
+            msg = (r.stderr or b"").decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            msg = "probe timed out after 240s"
+        print(f"backend pre-flight attempt {attempt + 1}/3 failed: {msg}",
+              file=sys.stderr)
+        if attempt < 2:
+            time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_backend()
     # Persistent XLA compile cache: warm driver rounds skip the
     # multi-minute tunnel compiles (r02 burned 805s of compile for a 20s
     # measurement). Opt out with GEOLDM_BENCH_NO_CACHE=1.
