@@ -424,9 +424,9 @@ def _wait_for_backend() -> None:
     retries. The TPU tunnel can be transiently down (observed: backend
     init 'UNAVAILABLE' for an extended window) and a failed backend init
     is cached for the life of the process — so probe in a subprocess and
-    only import jax here once a probe succeeds. Bounded: ~3 extra
-    minutes worst-case, then proceed and let the real error surface.
-    Opt out with GEOLDM_BENCH_NO_PREFLIGHT=1."""
+    only import jax here once a probe succeeds. Bounded: worst case
+    3 x 240s probes + 2 x 60s sleeps = 14 min, then proceed and let the
+    real error surface. Opt out with GEOLDM_BENCH_NO_PREFLIGHT=1."""
     import subprocess
 
     if os.environ.get("GEOLDM_BENCH_NO_PREFLIGHT") == "1":

@@ -71,12 +71,12 @@ def main(argv=None):
     setup_compilation_cache()
 
     from geoldm_tpu.data.datasets_config import get_dataset_info
-    from geoldm_tpu.data.qm9 import QM9Loader, load_qm9
+    from geoldm_tpu.data.qm9 import QM9Loader
     from geoldm_tpu.models import classifier as clf
     from geoldm_tpu.models import factory
-    from geoldm_tpu.models.distributions import DistributionNodes, DistributionProperty
+    from geoldm_tpu.models.distributions import DistributionNodes
     from geoldm_tpu.train import sampling as sampling_mod
-    from geoldm_tpu.train.conditioning import compute_mean_mad
+    from geoldm_tpu.train.conditioning import load_conditional_protocol
     from geoldm_tpu.utils import checkpoint as ckpt
 
     info = get_dataset_info("qm9")
@@ -85,8 +85,8 @@ def main(argv=None):
     key = jax.random.key(args.seed)
 
     # Normalizers come from the second-half protocol (valid split).
-    splits, _ = load_qm9(args.datadir, dataset="qm9_second_half")
-    norms = compute_mean_mad(splits, [prop], "qm9_second_half")
+    splits, norms, prop_dist_data, nodes_dist_data, pad_data = (
+        load_conditional_protocol(args.datadir, [prop]))
     mean, mad = norms[prop]["mean"], norms[prop]["mad"]
 
     classifier_params = _load_classifier(
@@ -107,18 +107,10 @@ def main(argv=None):
         params = state["ema_params"]
 
         if args.nodes_from_data:
-            from collections import Counter
-
-            hist = Counter(int(n) for n in splits["train"]["num_atoms"])
-            nodes_dist = DistributionNodes(dict(hist))
-            pad_nodes = int(np.max(splits["train"]["num_atoms"]))
+            nodes_dist, pad_nodes = nodes_dist_data, pad_data
         else:
-            nodes_dist = DistributionNodes(info.n_nodes)
-            pad_nodes = None
-        prop_dist = DistributionProperty(
-            splits["train"]["num_atoms"], {prop: splits["train"][prop]}
-        )
-        prop_dist.set_normalizer(norms)
+            nodes_dist, pad_nodes = DistributionNodes(info.n_nodes), None
+        prop_dist = prop_dist_data
 
         from geoldm_tpu.data.collate import build_masks
 
@@ -169,12 +161,8 @@ def main(argv=None):
         template = {"params": factory.init_params(jax.random.key(0), model_cfg)}
         template["ema_params"] = template["params"]
         state = ckpt.load_checkpoint(args.generators_path, template=template, name="best")
-        prop_dist = DistributionProperty(
-            splits["train"]["num_atoms"], {prop: splits["train"][prop]}
-        )
-        prop_dist.set_normalizer(norms)
         one_hot, charges, x, node_mask = sampling_mod.sample_sweep_conditional(
-            model_cfg, state["ema_params"], key, info, prop_dist
+            model_cfg, state["ema_params"], key, info, prop_dist_data
         )
         sweep_dir = f"{args.generators_path}/sweep_{prop}"
         viz.save_chain(sweep_dir, one_hot, charges, x, info)

@@ -119,30 +119,27 @@ class SamplerService:
                                        False))
         self.prop_norms = self.prop_dist = None
         self.conditioning = list(args.conditioning)
+        self.max_request_size = self.dataset_info["max_n_nodes"]
         if n_props > 0:
             if not (args.datadir and len(self.conditioning) == n_props):
                 raise SystemExit(
                     f"conditional checkpoint ({n_props} property channel(s)):"
                     " pass --datadir and --conditioning with exactly"
                     f" {n_props} property name(s)")
-            from geoldm_tpu.data.qm9 import load_qm9
-            from geoldm_tpu.models.distributions import DistributionProperty
-            from geoldm_tpu.train.conditioning import compute_mean_mad
+            if "qm9" not in args.dataset:
+                raise SystemExit(
+                    "conditional serving currently implements the QM9 "
+                    "second-half protocol only (--dataset qm9); other "
+                    "datasets need their own normalizer convention")
+            from geoldm_tpu.train.conditioning import load_conditional_protocol
 
-            splits, _ = load_qm9(args.datadir, dataset="qm9_second_half")
-            self.prop_norms = compute_mean_mad(
-                splits, self.conditioning, "qm9_second_half")
-            self.prop_dist = DistributionProperty(
-                splits["train"]["num_atoms"],
-                {p: splits["train"][p] for p in self.conditioning})
-            self.prop_dist.set_normalizer(self.prop_norms)
-            # Molecule sizes come from the TRAINING split's histogram, not
-            # the canned dataset table: the checkpoint only ever saw the
-            # split's sizes, and out-of-range sizes generate garbage.
-            from collections import Counter
-
-            self.nodes_dist = DistributionNodes(
-                dict(Counter(int(n) for n in splits["train"]["num_atoms"])))
+            # Normalizers, property-given-size distribution, and the
+            # molecule-size histogram all come from the TRAINING split —
+            # the checkpoint only ever saw the split's sizes, and
+            # out-of-range sizes generate garbage.
+            _, self.prop_norms, self.prop_dist, self.nodes_dist, pad = (
+                load_conditional_protocol(args.datadir, self.conditioning))
+            self.max_request_size = pad
 
         self.device_lock = threading.Lock()
         self.metrics_lock = threading.Lock()
@@ -202,7 +199,10 @@ class SamplerService:
 
         t0 = time.time()
         if "seed" in body:
-            seed = int(body["seed"])
+            try:
+                seed = int(body["seed"])
+            except (TypeError, ValueError):
+                raise ValueError("seed must be an integer") from None
         else:
             # Unseeded requests must not repeat: mix a monotonic counter
             # into the base seed so every request draws fresh molecules
@@ -211,25 +211,56 @@ class SamplerService:
                 self._auto_seed += 1
                 seed = self.args.seed + self._auto_seed
 
+        def _num(name, default, cast, lo=None, hi=None):
+            try:
+                v = cast(body.get(name, default))
+            except (TypeError, ValueError):
+                raise ValueError(f"{name} must be a number") from None
+            if (lo is not None and v < lo) or (hi is not None and v > hi):
+                raise ValueError(f"{name} must be in [{lo}, {hi}]")
+            return v
+
         if "sizes" in body:
-            sizes = np.asarray(body["sizes"], dtype=np.int64)
+            try:
+                sizes = np.asarray(body["sizes"], dtype=np.int64)
+            except (TypeError, ValueError):
+                raise ValueError("sizes must be a list of ints") from None
             if sizes.ndim != 1 or len(sizes) == 0:
                 raise ValueError("sizes must be a non-empty list of ints")
-            max_n = self.dataset_info["max_n_nodes"]
+            # For conditional checkpoints the bound is the TRAINING
+            # split's max size, not the canned dataset table — larger
+            # molecules are out of the model's training range.
+            max_n = self.max_request_size
             if sizes.min() < 1 or sizes.max() > max_n:
                 raise ValueError(f"sizes must be in [1, {max_n}]")
         else:
-            n = int(body.get("n_samples", 1))
-            if not 1 <= n <= 100_000:
-                raise ValueError("n_samples must be in [1, 100000]")
+            n = _num("n_samples", 1, int, 1, 100_000)
             sizes = self.nodes_dist.sample(n, np.random.default_rng(seed))
 
         n_steps = body.get("n_steps", self.args.n_steps)
-        n_steps = None if n_steps in (None, 0) else int(n_steps)
-        eta = float(body.get("eta", self.args.eta))
+        if n_steps in (None, 0):
+            n_steps = None
+        else:
+            try:
+                n_steps = int(n_steps)
+            except (TypeError, ValueError):
+                raise ValueError("n_steps must be an integer") from None
+            if n_steps < 1:
+                raise ValueError("n_steps must be >= 1")
+        eta = _num("eta", self.args.eta, float, 0.0, 1.0)
         method = str(body.get("sampler", self.args.sampler))
-        cfg_scale = float(body.get("cfg_scale", self.args.cfg_scale))
-        clip_z = float(body.get("clip_z", self.args.clip_z))
+        if method not in ("ddim", "dpm2m"):
+            raise ValueError("sampler must be 'ddim' or 'dpm2m'")
+        # cfg_scale/clip_z are trace-time constants: each distinct value
+        # compiles a distinct sampler. Quantize to 0.25 steps (bounds the
+        # program space; a novel setting traces once, warm thereafter) and
+        # normalize to the semantic no-ops for unconditional checkpoints.
+        cfg_scale = round(_num("cfg_scale", self.args.cfg_scale,
+                               float, 0.0, 10.0) * 4) / 4
+        clip_z = round(_num("clip_z", self.args.clip_z,
+                            float, 0.0, 1000.0) * 4) / 4
+        if self.prop_dist is None:
+            cfg_scale = 1.0  # guided_eps is a no-op without context
 
         ctx, props_used = None, None
         if self.prop_dist is not None:
@@ -245,8 +276,13 @@ class SamplerService:
                 for name in self.conditioning:
                     if name not in props:
                         raise ValueError(f"properties is missing {name!r}")
+                    try:
+                        v = float(props[name])
+                    except (TypeError, ValueError):
+                        raise ValueError(
+                            f"properties[{name!r}] must be a number") from None
                     n0 = self.prop_norms[name]
-                    cols.append((float(props[name]) - n0["mean"]) / n0["mad"])
+                    cols.append((v - n0["mean"]) / n0["mad"])
                 ctx = np.tile(np.asarray(cols, dtype=np.float32),
                               (len(sizes), 1))
                 props_used = {k: float(props[k]) for k in self.conditioning}
@@ -362,7 +398,10 @@ def make_handler(service: SamplerService):
                 if not isinstance(body, dict):
                     raise ValueError("request body must be a JSON object")
                 self._send(200, service.sample(body))
-            except (ValueError, KeyError, TypeError, AttributeError) as e:
+            except (ValueError, KeyError) as e:
+                # Request parsing/validation raises readable ValueErrors;
+                # anything else is a server-side bug and must be a 500 so
+                # monitoring doesn't misread bugs as client errors.
                 with service.metrics_lock:
                     service.errors += 1
                 self._send(400, {"error": str(e)})

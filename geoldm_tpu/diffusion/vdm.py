@@ -436,11 +436,19 @@ def guided_eps(
     the default compiles to a single denoiser call. The null condition is
     the all-zero context — exactly what ``--context_dropout`` training
     shows the model (train/train_step.py)."""
+    if context is None or guidance_scale == 0.0:
+        # w=0 IS the null-condition model — one denoiser call, not two
+        # (XLA cannot fold x*0 under float semantics).
+        context = None if context is None else jnp.zeros_like(context)
+        return dynamics_apply(
+            params["dynamics"], dyn_cfg, t, z, node_mask, edge_mask, context,
+            compute_dtype,
+        )
     eps = dynamics_apply(
         params["dynamics"], dyn_cfg, t, z, node_mask, edge_mask, context,
         compute_dtype,
     )
-    if context is None or guidance_scale == 1.0:
+    if guidance_scale == 1.0:
         return eps
     eps_u = dynamics_apply(
         params["dynamics"], dyn_cfg, t, z, node_mask, edge_mask,

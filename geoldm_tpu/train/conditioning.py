@@ -41,6 +41,34 @@ def compute_mean_mad(
     raise ValueError(dataset_name)
 
 
+def load_conditional_protocol(datadir: str, properties: Sequence[str],
+                              dataset: str = "qm9_second_half"):
+    """Shared setup for evaluating/serving conditional QM9 checkpoints:
+    (splits, norms, prop_dist, nodes_dist, pad), all derived from the
+    training split (second-half convention, reference
+    eval_conditional_qm9.py:55-76). nodes_dist/pad come from the split's
+    size histogram — NOT the canned dataset table — because the
+    checkpoint only ever saw the split's sizes."""
+    from collections import Counter
+
+    from geoldm_tpu.data.qm9 import load_qm9
+    from geoldm_tpu.models.distributions import (
+        DistributionNodes,
+        DistributionProperty,
+    )
+
+    splits, _ = load_qm9(datadir, dataset=dataset)
+    norms = compute_mean_mad(splits, list(properties), dataset)
+    prop_dist = DistributionProperty(
+        splits["train"]["num_atoms"],
+        {p: splits["train"][p] for p in properties})
+    prop_dist.set_normalizer(norms)
+    nodes_dist = DistributionNodes(
+        dict(Counter(int(n) for n in splits["train"]["num_atoms"])))
+    pad = int(np.max(splits["train"]["num_atoms"]))
+    return splits, norms, prop_dist, nodes_dist, pad
+
+
 def prepare_context(
     conditioning: Sequence[str],
     batch: Dict[str, np.ndarray],

@@ -57,6 +57,21 @@ def _jitted_sampler(model_cfg: ModelConfig, compute_dtype_name: Optional[str],
     return jax.jit(fn, static_argnames=("fix_noise",))
 
 
+def append_indicator_if_needed(model_cfg: ModelConfig, context: np.ndarray) -> np.ndarray:
+    """Property-only context -> model context: models built with
+    context_indicator=True carry a trailing is-conditioned ones channel
+    (conditioning.prepare_context); callers pass property values only, so
+    append it when the width is one short of the model's context_node_nf."""
+    want = (model_cfg.dynamics.context_node_nf
+            if model_cfg.dynamics is not None
+            else model_cfg.vae.context_node_nf)
+    if (getattr(model_cfg, "context_indicator", False)
+            and context.shape[-1] == want - 1):
+        context = np.concatenate(
+            [context, np.ones_like(context[..., :1])], axis=-1)
+    return context
+
+
 def sample(
     model_cfg: ModelConfig,
     params,
@@ -114,15 +129,7 @@ def sample(
             context = np.broadcast_to(
                 context[:, None, :], (len(nodesxsample), max_n_nodes, context.shape[-1])
             )
-        want = (model_cfg.dynamics.context_node_nf
-                if model_cfg.dynamics is not None
-                else model_cfg.vae.context_node_nf)
-        if (getattr(model_cfg, "context_indicator", False)
-                and context.shape[-1] == want - 1):
-            # Callers pass property-only context; append the trailing
-            # is-conditioned channel (see conditioning.prepare_context).
-            context = np.concatenate(
-                [context, np.ones_like(context[..., :1])], axis=2)
+        context = append_indicator_if_needed(model_cfg, context)
         context_dev = jnp.asarray(context * node_mask_np)
 
     node_mask_dev = jnp.asarray(node_mask_np)
@@ -311,9 +318,9 @@ def sample_chain(
     context = None
     if prop_dist is not None:
         ctx = prop_dist.sample(n_nodes, rng)  # [P]
-        context = jnp.asarray(
-            np.broadcast_to(ctx[None, None, :], (1, n_nodes, len(ctx))).copy()
-        )
+        context = np.broadcast_to(
+            ctx[None, None, :], (1, n_nodes, len(ctx))).copy()
+        context = jnp.asarray(append_indicator_if_needed(model_cfg, context))
 
     from geoldm_tpu.nn.core import resolve_compute
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from collections import Counter
 
 import numpy as np
 
@@ -40,25 +39,14 @@ def main(argv=None):
     import jax
 
     from geoldm_tpu.data.datasets_config import get_dataset_info
-    from geoldm_tpu.data.qm9 import load_qm9
     from geoldm_tpu.models import factory
-    from geoldm_tpu.models.distributions import (
-        DistributionNodes,
-        DistributionProperty,
-    )
     from geoldm_tpu.train import sampling as S
-    from geoldm_tpu.train.conditioning import compute_mean_mad
+    from geoldm_tpu.train.conditioning import load_conditional_protocol
     from geoldm_tpu.utils import checkpoint as ckpt
 
     info = get_dataset_info("qm9")
-    splits, _ = load_qm9(args.workdir, dataset="qm9_second_half")
-    norms = compute_mean_mad(splits, ["alpha"], "qm9_second_half")
-    hist = Counter(int(n) for n in splits["train"]["num_atoms"])
-    nodes_dist = DistributionNodes(dict(hist))
-    pad = int(np.max(splits["train"]["num_atoms"]))
-    prop_dist = DistributionProperty(
-        splits["train"]["num_atoms"], {"alpha": splits["train"]["alpha"]})
-    prop_dist.set_normalizer(norms)
+    _, norms, prop_dist, nodes_dist, pad = load_conditional_protocol(
+        args.workdir, ["alpha"])
     mean, mad = norms["alpha"]["mean"], norms["alpha"]["mad"]
 
     path = args.model or os.path.join(args.workdir, "out", "cond_gen")

@@ -192,6 +192,23 @@ def test_context_indicator_channel():
                    guidance_scale=0.0)
     assert np.any(np.abs(zero_prop[2] - null[2]) > 1e-4)
 
+    # chain visualization builds context through the same indicator path
+    # (regression: the periodic --visualize sampling crashed on
+    # indicator models with a one-channel-short context).
+    from geoldm_tpu.models.distributions import DistributionProperty
+
+    rng0 = np.random.default_rng(0)
+    pd = DistributionProperty(rng0.integers(5, 20, size=100),
+                              {"alpha": rng0.standard_normal(100)})
+    from geoldm_tpu.train.conditioning import compute_mean_mad_from_arrays
+
+    pd.set_normalizer(compute_mean_mad_from_arrays(
+        {"alpha": rng0.standard_normal(100)}, ["alpha"]))
+    one_hot, charges, xc = S.sample_chain(
+        cfg, factory.init_params(jax.random.key(0), cfg), jax.random.key(2),
+        INFO, prop_dist=pd, keep_frames=4, rng=rng0)
+    assert np.all(np.isfinite(xc))
+
     # guidance + dropout train path run end-to-end on the indicator model.
     rng = np.random.default_rng(0)
     batch = _train_batch(rng, ctx_nf=2)
