@@ -72,6 +72,10 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--test_epochs", type=int, default=10)
     p.add_argument("--save_model", type=eval, default=True)
     p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="host batch-prep lookahead depth (one background "
+                        "thread overlaps prep/transfer with the device "
+                        "step; 0 = serial loop, identical results)")
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--augment_noise", type=float, default=0.0)
     p.add_argument("--context_dropout", type=float, default=0.0,
@@ -344,6 +348,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
             context_indicator=model_cfg.context_indicator,
             break_train_epoch=args.break_train_epoch,
             logger=logger, log_every=args.n_report_steps, rng=rng, mesh=mesh,
+            prefetch=getattr(args, "prefetch", 2),
         )
         if args.trace:
             jax.profiler.stop_trace()

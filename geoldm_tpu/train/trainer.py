@@ -27,6 +27,7 @@ from geoldm_tpu.models.distributions import DistributionNodes
 from geoldm_tpu.train import sampling as sampling_mod
 from geoldm_tpu.train.augment import random_rotation
 from geoldm_tpu.train.conditioning import prepare_context
+from geoldm_tpu.train.prefetch import prefetch_map
 from geoldm_tpu.utils.buckets import covering_buckets
 
 
@@ -87,6 +88,7 @@ def train_epoch(
     log_every: int = 50,
     rng: Optional[np.random.Generator] = None,
     mesh=None,
+    prefetch: int = 2,
 ):
     """One pass over the loader. Returns (state, mean_loss).
 
@@ -100,7 +102,9 @@ def train_epoch(
     losses = []
     dropped = 0
     t0 = time.time()
-    for i, raw in enumerate(loader):
+
+    def _prep(raw):
+        nonlocal dropped
         batch = prepare_batch(
             raw, nodes_dist, conditioning, property_norms, augment_noise,
             data_augmentation, rng, context_indicator=context_indicator,
@@ -118,8 +122,16 @@ def train_epoch(
                 dropped += b % dp
                 batch = {k: v[: b - b % dp] for k, v in batch.items()}
                 if len(batch["x"]) == 0:
-                    continue
+                    return None
             batch = shd.shard_batch(batch, mesh)
+        return batch
+
+    # One background thread prepares (and enqueues transfers for) batch
+    # k+1 while the device runs step k — identical order/RNG to the
+    # serial loop (prefetch.py); prefetch=0 disables.
+    for i, batch in enumerate(prefetch_map(_prep, loader, depth=prefetch)):
+        if batch is None:
+            continue
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, sub)
         losses.append(metrics)
