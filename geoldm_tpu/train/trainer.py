@@ -191,7 +191,8 @@ def evaluate_nll(
     if mesh is not None and mesh.size > 1:
         from geoldm_tpu.parallel import sharding as shd
     nominal = getattr(loader, "batch_size", 0)
-    for raw in loader:
+
+    def _prep(raw):
         batch = prepare_batch(raw, nodes_dist, conditioning, property_norms,
                               augment_noise=augment_noise, rng=rng,
                               context_indicator=context_indicator)
@@ -214,6 +215,10 @@ def evaluate_nll(
                     (np.arange(target) < b).astype(np.float32)
                 )
             batch = shd.shard_batch(batch, mesh)
+        return b, batch
+
+    # Same background host-prep overlap as train_epoch (prefetch.py).
+    for b, batch in prefetch_map(_prep, loader, depth=2):
         key, sub = jax.random.split(key)
         total = total + eval_nll_fn(params, batch, sub) * b
         count += b
