@@ -222,6 +222,67 @@ def test_unconditional_rejects_properties(server):
     assert code == 400 and "unconditional" in body["error"]
 
 
+def test_request_coalescing(server):
+    """Concurrent unseeded requests merge into shared device dispatches:
+    deterministically via a slowed _generate (all queued requests land in
+    ONE batch), and over real HTTP all succeed with correct slice sizes."""
+    import time as time_mod
+
+    base, service = server
+
+    # Deterministic in-process check: block the worker mid-dispatch so the
+    # next 3 submissions queue up, then verify they merge into one call.
+    calls = []
+    real_generate = service._generate
+
+    def slow_generate(sizes, *a, **kw):
+        calls.append(len(sizes))
+        time_mod.sleep(0.3)
+        return real_generate(sizes, *a, **kw)
+
+    service._generate = slow_generate
+    try:
+        settings = (3, 1.0, "ddim", 1.0, 0.0)
+        results = []
+
+        def _submit(n):
+            out, seed, group = service._coalescer.submit(
+                np.full(n, 5, dtype=np.int64), None, 100 + n, settings)
+            results.append((n, len(out[2]), group))
+
+        # Occupy the worker, then pile on 3 more while it sleeps.
+        t0 = threading.Thread(target=_submit, args=(1,))
+        t0.start()
+        time_mod.sleep(0.1)  # worker is inside slow_generate now
+        rest = [threading.Thread(target=_submit, args=(n,)) for n in (2, 3, 4)]
+        for t in rest:
+            t.start()
+        for t in [t0] + rest:
+            t.join(timeout=60)
+        assert calls[0] == 1  # first dispatch: the solo occupier
+        assert sorted(calls)[-1] == 9  # 2+3+4 merged into one dispatch
+        for n, got, group in results:
+            assert got == n  # every request got exactly its slice
+        assert {g for n, _, g in results if n > 1} == {3}
+    finally:
+        service._generate = real_generate
+
+    # Over real HTTP: concurrent unseeded requests all succeed.
+    codes = []
+
+    def _post():
+        codes.append(_request(base, "/sample", {"n_samples": 2})[0])
+
+    threads = [threading.Thread(target=_post) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert codes == [200, 200, 200, 200]
+    code, m = _request(base, "/metrics")
+    assert code == 200 and m["dispatches"] <= m["requests"]
+
+
 def test_metrics_accumulate(server):
     base, service = server
     code, body = _request(base, "/metrics")
