@@ -267,6 +267,31 @@ def test_request_coalescing(server):
     finally:
         service._generate = real_generate
 
+    # Dispatch failure fans out to every request in the merged group.
+    def boom(sizes, *a, **kw):
+        raise RuntimeError("device fell over")
+
+    service._generate = boom
+    try:
+        errs = []
+
+        def _submit_err():
+            try:
+                service._coalescer.submit(
+                    np.full(2, 5, dtype=np.int64), None, 7,
+                    (3, 1.0, "ddim", 1.0, 0.0))
+            except RuntimeError as e:
+                errs.append(str(e))
+
+        ts = [threading.Thread(target=_submit_err) for _ in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert errs == ["device fell over"] * 3
+    finally:
+        service._generate = real_generate
+
     # Over real HTTP: concurrent unseeded requests all succeed.
     codes = []
 
