@@ -400,6 +400,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                 eval_params, eval_nll, loaders["valid"], nodes_dist, v_key,
                 conditioning=args.conditioning, property_norms=property_norms,
                 context_indicator=model_cfg.context_indicator,
+                prefetch=getattr(args, "prefetch", 2),
                 partition="valid", augment_noise=args.augment_noise, rng=rng,
                 mesh=mesh,
             )
@@ -416,6 +417,7 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
                     eval_params, eval_nll, loaders["test"], nodes_dist, t_key,
                     conditioning=args.conditioning, property_norms=property_norms,
                     context_indicator=model_cfg.context_indicator,
+                    prefetch=getattr(args, "prefetch", 2),
                     partition="test", augment_noise=args.augment_noise, rng=rng,
                     mesh=mesh,
                 )

@@ -128,30 +128,35 @@ class _Coalescer:
                          if it["settings"] == settings]
                 self._pending = [it for it in self._pending
                                  if it["settings"] != settings]
-            seed = group[0]["seed"]  # solo group == unbatched semantics
-            sizes = np.concatenate([it["sizes"] for it in group])
-            ctx = (np.concatenate([it["ctx"] for it in group])
-                   if group[0]["ctx"] is not None else None)
-            n_steps, eta, method, cfg_scale, clip_z = settings
+            # The ENTIRE per-group body is guarded: an exception escaping
+            # this worker would kill the only batcher thread and hang every
+            # in-flight and future unseeded request (submit() waits on its
+            # Event) — a silent partial outage. Errors fan out per request
+            # instead.
             try:
+                seed = group[0]["seed"]  # solo group == unbatched semantics
+                sizes = np.concatenate([it["sizes"] for it in group])
+                ctx = (np.concatenate([it["ctx"] for it in group])
+                       if group[0]["ctx"] is not None else None)
+                n_steps, eta, method, cfg_scale, clip_z = settings
                 out = self._service._generate(
                     sizes, seed, n_steps, eta, method, context=ctx,
                     cfg_scale=cfg_scale, clip_z=clip_z)
+                with self._service.metrics_lock:
+                    self._service.dispatches += 1
+                lo = 0
+                for it in group:
+                    hi = lo + len(it["sizes"])
+                    it["result"] = tuple(a[lo:hi] for a in out)
+                    it["dispatch_seed"] = seed
+                    it["group"] = len(group)
+                    lo = hi
             except Exception as e:  # noqa: BLE001 — delivered per-request
                 for it in group:
                     it["error"] = e
+            finally:
+                for it in group:
                     it["event"].set()
-                continue
-            with self._service.metrics_lock:
-                self._service.dispatches += 1
-            lo = 0
-            for it in group:
-                hi = lo + len(it["sizes"])
-                it["result"] = tuple(a[lo:hi] for a in out)
-                it["dispatch_seed"] = seed
-                it["group"] = len(group)
-                it["event"].set()
-                lo = hi
 
 
 class SamplerService:
@@ -421,7 +426,10 @@ class SamplerService:
             "sampler": {"n_steps": n_steps, "eta": eta, "method": method,
                         "protocol": "dense-T" if n_steps is None
                         else f"fewstep-{n_steps}"},
-            "seed": seed,
+            # A merged group's dispatch seed cannot reproduce any single
+            # member's molecules (batch composition differs on replay), so
+            # only solo responses echo a replayable seed.
+            "seed": seed if group == 1 else None,
             "seconds": round(elapsed, 4),
             **({"coalesced": group} if group > 1 else {}),
             **({"properties": props_used, "cfg_scale": cfg_scale}
@@ -448,8 +456,9 @@ class SamplerService:
                 "requests": self.requests,
                 "molecules": self.molecules,
                 "errors": self.errors,
-                # device dispatches < sample requests when concurrent
-                # unseeded requests were coalesced into shared batches
+                # merged generation calls (each spans one compiled program
+                # per occupied size bucket/chunk); < requests when
+                # concurrent unseeded requests were coalesced
                 "dispatches": self.dispatches,
             }
         if lat:

@@ -66,11 +66,17 @@ def prefetch_map(fn: Callable[[T], U], iterable: Iterable[T],
                 raise out
             yield out
     finally:
-        # Consumer stopped early (break / exception): unblock the worker.
+        # Consumer stopped early (break / exception): unblock the worker
+        # and WAIT until it is actually dead — callers share a numpy
+        # Generator with fn, so returning while the worker is mid-fn would
+        # race on rng state. The worker can only be blocked in q.put
+        # (freed by draining) or inside fn (bounded by one batch), so the
+        # drain+join loop terminates.
         stop.set()
-        while True:
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
-        thread.join(timeout=5.0)
+        while thread.is_alive():
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=0.5)

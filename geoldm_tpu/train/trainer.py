@@ -128,8 +128,11 @@ def train_epoch(
 
     # One background thread prepares (and enqueues transfers for) batch
     # k+1 while the device runs step k — identical order/RNG to the
-    # serial loop (prefetch.py); prefetch=0 disables.
-    for i, batch in enumerate(prefetch_map(_prep, loader, depth=prefetch)):
+    # serial loop (prefetch.py); prefetch=0 disables. break_train_epoch
+    # forces the serial path: lookahead would advance the shared rng past
+    # where the serial loop stops, changing downstream draws.
+    depth = 0 if break_train_epoch else prefetch
+    for i, batch in enumerate(prefetch_map(_prep, loader, depth=depth)):
         if batch is None:
             continue
         key, sub = jax.random.split(key)
@@ -172,6 +175,7 @@ def evaluate_nll(
     context_indicator: bool = False,
     rng=None,
     mesh=None,
+    prefetch: int = 2,
 ) -> float:
     """Mean NLL over a split (t0_always estimator). reference:
     train_test.py:103-149 — note the reference applies augment_noise during
@@ -218,7 +222,7 @@ def evaluate_nll(
         return b, batch
 
     # Same background host-prep overlap as train_epoch (prefetch.py).
-    for b, batch in prefetch_map(_prep, loader, depth=2):
+    for b, batch in prefetch_map(_prep, loader, depth=prefetch):
         key, sub = jax.random.split(key)
         total = total + eval_nll_fn(params, batch, sub) * b
         count += b

@@ -91,7 +91,7 @@ def main(argv=None):
     import numpy as np
 
     m = json.loads(urllib.request.urlopen(base + "/metrics").read())
-    lat = np.asarray(latencies) if latencies else np.zeros(1)
+    lat = np.asarray(latencies) if latencies else None
     result = {
         "mode": "solo" if args.solo else "coalesced",
         "clients": args.clients,
@@ -100,8 +100,11 @@ def main(argv=None):
         "errors": len(errors),
         "req_per_s": round(len(counts) / wall, 2),
         "mol_per_s": round(sum(counts) / wall, 2),
-        "latency_s": {"p50": round(float(np.percentile(lat, 50)), 3),
-                      "p95": round(float(np.percentile(lat, 95)), 3)},
+        # null (not 0.0) when every request failed — a broken run must not
+        # read as an infinitely fast one
+        "latency_s": None if lat is None else {
+            "p50": round(float(np.percentile(lat, 50)), 3),
+            "p95": round(float(np.percentile(lat, 95)), 3)},
         "device_dispatches": m["dispatches"],
         "requests_per_dispatch": round(
             len(counts) / max(m["dispatches"], 1), 2),

@@ -234,11 +234,21 @@ def test_request_coalescing(server):
     # next 3 submissions queue up, then verify they merge into one call.
     calls = []
     real_generate = service._generate
+    gate = threading.Event()  # holds the FIRST dispatch until the test
+    # has queued the other three requests — fully deterministic, no sleeps
 
     def slow_generate(sizes, *a, **kw):
+        first = not calls
         calls.append(len(sizes))
-        time_mod.sleep(0.3)
+        if first:
+            assert gate.wait(timeout=30)
         return real_generate(sizes, *a, **kw)
+
+    def _wait_for(pred, timeout=30.0):
+        t_end = time_mod.time() + timeout
+        while not pred():
+            assert time_mod.time() < t_end, "condition never became true"
+            time_mod.sleep(0.01)
 
     service._generate = slow_generate
     try:
@@ -250,13 +260,17 @@ def test_request_coalescing(server):
                 np.full(n, 5, dtype=np.int64), None, 100 + n, settings)
             results.append((n, len(out[2]), group))
 
-        # Occupy the worker, then pile on 3 more while it sleeps.
+        # Occupy the worker (poll until it is INSIDE slow_generate), then
+        # pile on 3 more and poll until all three are queued — no timing
+        # assumptions, deterministic on a loaded host.
         t0 = threading.Thread(target=_submit, args=(1,))
         t0.start()
-        time_mod.sleep(0.1)  # worker is inside slow_generate now
+        _wait_for(lambda: len(calls) == 1)
         rest = [threading.Thread(target=_submit, args=(n,)) for n in (2, 3, 4)]
         for t in rest:
             t.start()
+        _wait_for(lambda: len(service._coalescer._pending) == 3)
+        gate.set()  # release the occupier; the 3 queued requests merge
         for t in [t0] + rest:
             t.join(timeout=60)
         assert calls[0] == 1  # first dispatch: the solo occupier
