@@ -63,6 +63,7 @@ def test_early_break_stops_worker():
     assert len(produced) < 9_000  # did not race through the whole iterable
 
 
+@pytest.mark.slow
 def test_train_epoch_prefetch_matches_serial():
     """prefetch=2 must be byte-identical to prefetch=0 (same RNG stream,
     same batch order, same losses)."""
