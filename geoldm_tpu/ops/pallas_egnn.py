@@ -565,6 +565,39 @@ def _bwd(cfg, compute_dtype, interpret, group, bwd_mode, residuals, cotangents):
 fused_block_apply.defvjp(_fwd, _bwd)
 
 
+def dispatch_to_tiled(n: int, hidden_nf: int, compute_dtype=None,
+                      bwd_mode: str = "pallas") -> bool:
+    """True when egnn_apply_pallas must route to the row-tiled kernels.
+
+    Two independent budgets, both in pair rows (padded_n^2 per molecule at
+    group=1):
+    - FORWARD: the whole-molecule kernel holds all pair rows live in VMEM;
+      4096 f32 rows is the calibrated 16MB-scoped fit/performance optimum.
+    - BACKWARD: the fused in-kernel vjp's live set is ~17KB/row, budgeted
+      against the raised 64MB scoped limit (~3.6k rows at hidden 256) —
+      SMALLER than the forward budget at the boundary. e.g. padded N=64:
+      4096 rows fit the forward exactly, but 4096 * ~17KB = ~70MB overflows
+      the raised scoped limit even at group=1, and the training compile
+      dies in Mosaic's stack allocator (the round-3 GEOM pad-64 bucket
+      scope-OOM). Whether the caller will differentiate is unknowable at
+      trace time, so boundary sizes route to tiled for forward-only callers
+      too (costs only the non-default pallas sampling path at those
+      buckets; pass bwd_mode='xla' to keep the whole-molecule forward
+      there — the XLA-remat backward has no in-kernel live set)."""
+    padded_n = -(-n // 8) * 8
+    fwd_rows = 4096 * 4 // _edge_itemsize(compute_dtype)
+    if n % 8 != 0:
+        # Same relayout-copy penalty _auto_group applies: unaligned N
+        # roughly doubles the live set around the [G*N*N, H] reshapes.
+        fwd_rows //= 2
+    fwd_overflow = padded_n * padded_n > fwd_rows
+    bwd_overflow = (
+        bwd_mode == "pallas"
+        and padded_n * padded_n > _bwd_rows_budget(n, hidden_nf)
+    )
+    return fwd_overflow or bwd_overflow
+
+
 def egnn_apply_pallas(
     params: dict,
     cfg: EGNNConfig,
@@ -589,24 +622,8 @@ def egnn_apply_pallas(
         bwd_mode = os.environ.get("GEOLDM_PALLAS_BWD", "pallas")
 
     n = h.shape[1]
-    padded_n = -(-n // 8) * 8
-    fwd_overflow = (
-        padded_n * padded_n > 4096 * 4 // _edge_itemsize(compute_dtype)
-    )
-    # The fused whole-molecule BACKWARD has a ~4x larger live set than the
-    # forward; at the boundary (e.g. N=64: 4096 pair rows fit the forward
-    # budget exactly, but 4096 * ~17KB = ~70MB overflows the raised 64MB
-    # scoped limit even at group=1) it must route to the row-tiled kernels
-    # or training compiles die in Mosaic's stack allocator. Whether the
-    # caller will differentiate is unknowable at trace time, so boundary
-    # sizes route to tiled for forward-only callers too (costs only the
-    # non-default pallas sampling path at those buckets; pass bwd_mode=
-    # 'xla' to keep the whole-molecule forward there).
-    bwd_overflow = (
-        bwd_mode == "pallas"
-        and padded_n * padded_n > _bwd_rows_budget(n, cfg.hidden_nf)
-    )
-    if group is None and (fwd_overflow or bwd_overflow):
+    if group is None and dispatch_to_tiled(n, cfg.hidden_nf, compute_dtype,
+                                           bwd_mode):
         from geoldm_tpu.ops.pallas_egnn_tiled import egnn_apply_pallas_tiled
 
         return egnn_apply_pallas_tiled(
