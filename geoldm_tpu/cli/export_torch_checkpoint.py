@@ -27,6 +27,11 @@ def parse_args(argv=None):
                    help="checkpoint name to load (default 'best')")
     p.add_argument("--dataset", type=str, default="qm9")
     p.add_argument("--remove_h", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="EMA decay the checkpoint was actually trained "
+                        "with (written into args.pickle for upstream "
+                        "tooling; 0 for non-EMA). Default: reference's "
+                        "0.9999, with a warning")
     p.add_argument("--conditioning", nargs="*", default=[],
                    help="property names the context channels were trained "
                         "on (required by upstream eval for conditional "
@@ -55,7 +60,7 @@ def main(argv=None) -> None:
     os.makedirs(args.out, exist_ok=True)
     ref_args = reference_args_from_model_config(
         model_cfg, dataset=args.dataset, remove_h=args.remove_h,
-        conditioning=args.conditioning)
+        conditioning=args.conditioning, ema_decay=args.ema_decay)
     with open(os.path.join(args.out, "args.pickle"), "wb") as f:
         pickle.dump(ref_args, f)
 

@@ -36,8 +36,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import threading
 import time
+
+# Allowed per-request few-step settings. n_steps is a trace-time constant
+# (each value = one compiled sampler program); bounding requests to this
+# ladder bounds the whole compiled-program space a client can induce.
+_NSTEPS_LADDER = (1, 2, 3, 5, 8, 10, 15, 20, 25, 35, 50, 75, 100,
+                  150, 250, 375, 500, 750, 1000)
 
 
 def parse_args(argv=None):
@@ -178,6 +185,8 @@ class SamplerService:
         self._sampling = sampling_mod
         self.args = args
         self.model_cfg = ckpt.load_config(args.model_path)
+        self.timesteps = (self.model_cfg.diffusion.timesteps
+                          if self.model_cfg.diffusion is not None else 1000)
         self.dataset_info = get_dataset_info(args.dataset, args.remove_h)
         self.nodes_dist = DistributionNodes(self.dataset_info.n_nodes)
         template = {"params": factory.init_params(jax.random.key(0), self.model_cfg)}
@@ -231,6 +240,10 @@ class SamplerService:
         self.errors = 0
         self.dispatches = 0  # coalesced device dispatches (vs requests)
         self._auto_seed = 0  # per-request counter for unseeded requests
+        # Fresh entropy per process: unseeded requests draw new streams
+        # across restarts (48-bit keeps seed + counter inside int64).
+        self._auto_seed_base = args.seed + int.from_bytes(
+            os.urandom(6), "little")
         self.latencies = []  # seconds, capped window
         self.started = time.time()
         self._coalescer = _Coalescer(self)
@@ -291,10 +304,14 @@ class SamplerService:
         else:
             # Unseeded requests must not repeat: mix a monotonic counter
             # into the base seed so every request draws fresh molecules
-            # (the response echoes the seed for reproducibility).
+            # (the response echoes the seed for reproducibility). The base
+            # includes startup entropy so a restarted server doesn't
+            # replay the exact same molecule sequence for the same
+            # request sequence — replayability comes from the echoed
+            # seed, not from process-lifetime determinism.
             with self.metrics_lock:
                 self._auto_seed += 1
-                seed = self.args.seed + self._auto_seed
+                seed = self._auto_seed_base + self._auto_seed
 
         def _num(name, default, cast, lo=None, hi=None):
             try:
@@ -330,8 +347,23 @@ class SamplerService:
                 n_steps = int(n_steps)
             except (TypeError, ValueError):
                 raise ValueError("n_steps must be an integer") from None
-            if n_steps < 1:
-                raise ValueError("n_steps must be >= 1")
+            T = self.timesteps
+            if not 1 <= n_steps <= T:
+                raise ValueError(
+                    f"n_steps must be in [1, {T}] (this checkpoint's "
+                    "timestep count; null/0 selects the dense sampler)")
+            # Each distinct n_steps is a trace-time constant compiling a
+            # distinct XLA program — snap to a fixed ladder (like
+            # cfg_scale/clip_z quantization below) so a chatty client
+            # can't thrash the compiled-sampler LRU with hundreds of
+            # distinct values. Ties snap down; the response echoes the
+            # effective value. The server's own --n_steps default is
+            # always allowed un-snapped.
+            if n_steps != self.args.n_steps:
+                n_steps = min(
+                    (k for k in _NSTEPS_LADDER if k <= T),
+                    key=lambda k: (abs(k - n_steps), k),
+                )
         eta = _num("eta", self.args.eta, float, 0.0, 1.0)
         method = str(body.get("sampler", self.args.sampler))
         if method not in ("ddim", "dpm2m"):

@@ -105,9 +105,14 @@ def canonical_smiles(
     ranks = _initial_ranks(list(symbols), charges, neigh, orders)
     budget = [max(1, branch_budget)]
     best: List[Optional[str]] = [None]
+    truncated = [False]
 
     def complete(ranks_: List[int]) -> None:
-        if budget[0] <= 0 and best[0] is not None:
+        if budget[0] <= 0:
+            # A pending branch is being skipped: WHICH branches got
+            # explored depends on input atom order, so the min over the
+            # explored subset is no longer permutation-invariant.
+            truncated[0] = True
             return
         counts: Dict[int, int] = {}
         for r in ranks_:
@@ -122,16 +127,58 @@ def canonical_smiles(
         # Individuate each member of the smallest tied class in turn and
         # re-refine; the minimum over branches is permutation-invariant.
         cls = [i for i in range(n) if ranks_[i] == tied[0]]
-        for a in cls:
+        # Degree-1 members hanging off the SAME atom are automorphic
+        # (tied => same symbol/charge/bond order; swapping two such
+        # leaves is a graph automorphism), so their branches emit
+        # identical strings — keep one per parent. Dominant case:
+        # explicit-H methyl/amino groups, which otherwise multiply the
+        # leaf count by 3! per group (caffeine: 27x).
+        seen_parents: set = set()
+        pruned = []
+        for i in cls:
+            if len(neigh[i]) == 1:
+                if neigh[i][0] in seen_parents:
+                    continue
+                seen_parents.add(neigh[i][0])
+            pruned.append(i)
+        for a in pruned:
+            if budget[0] <= 0:
+                truncated[0] = True
+                return
             forked = [r * 2 for r in ranks_]
             forked[a] -= 1
             complete(_refine(_dense_ranks(forked), neigh, orders))
-            if budget[0] <= 0 and best[0] is not None:
-                return
 
     complete(ranks)
+    if truncated[0]:
+        # Budget exhausted mid-tie-breaking (pathologically symmetric
+        # graph). Fall back to a permutation-invariant WL graph key so
+        # isomorphic inputs still map to one string — not valid SMILES,
+        # but stable for uniqueness/novelty counting, and distinctively
+        # marked so downstream parsers reject rather than misread it.
+        return _wl_graph_key(list(symbols), orders, charges, ranks)
     assert best[0] is not None
     return best[0]
+
+
+def _wl_graph_key(symbols, orders, charges, ranks) -> str:
+    """Permutation-invariant graph key from the stable WL refinement:
+    the sorted multiset of per-atom (rank, symbol, charge) plus the
+    sorted multiset of (rank_lo, rank_hi, bond order) edges. Rank values
+    are dense positions in a sorted order of invariant signatures, so
+    both multisets are independent of input atom order."""
+    import hashlib
+
+    atoms = sorted(
+        (ranks[i], symbols[i], int(charges[i])) for i in range(len(symbols))
+    )
+    ii, jj = np.nonzero(np.triu(orders, k=1))
+    edges = sorted(
+        (min(ranks[i], ranks[j]), max(ranks[i], ranks[j]), int(orders[i][j]))
+        for i, j in zip(ii.tolist(), jj.tolist())
+    )
+    digest = hashlib.sha1(repr((atoms, edges)).encode()).hexdigest()[:20]
+    return f"*WL:{digest}*"
 
 
 def _atom_token(symbol: str, charge: int) -> str:

@@ -244,7 +244,8 @@ def state_dict_from_params(params: Dict[str, Any], model_cfg) -> Dict[str, np.nd
 
 def reference_args_from_model_config(model_cfg, dataset: str = "qm9",
                                      remove_h: bool = False,
-                                     conditioning=()):
+                                     conditioning=(),
+                                     ema_decay=None):
     """ModelConfig -> an argparse.Namespace in the reference's args.pickle
     shape, inverse of model_config_from_reference_args (round-trip tested).
     Model-architecture fields plus the attributes the reference's model
@@ -252,8 +253,19 @@ def reference_args_from_model_config(model_cfg, dataset: str = "qm9",
     get_latent_diffusion: conditioning, probabilistic_model, ae_path) are
     populated — training hyperparameters are not part of a weights export.
     ``conditioning`` must list the property names the context channels were
-    trained on if context_node_nf > 0 (we store only the channel count)."""
+    trained on if context_node_nf > 0 (we store only the channel count).
+    ``ema_decay`` is the real decay the checkpoint was trained with
+    (checkpoints store only the ModelConfig, not TrainConfig, so it must
+    be supplied by the caller); None falls back to the reference default
+    0.9999 with a printed warning, since upstream tooling reads this field
+    (e.g. --ae_path reuse picks the ema weights file when it's > 0)."""
     import argparse
+
+    if ema_decay is None:
+        ema_decay = 0.9999
+        print("warning: --ema_decay not given; writing the reference "
+              "default 0.9999 into args.pickle — pass the checkpoint's "
+              "real training decay (0 for non-EMA) if it differed")
 
     kind = model_cfg.kind
     if getattr(model_cfg, "context_indicator", False):
@@ -285,7 +297,7 @@ def reference_args_from_model_config(model_cfg, dataset: str = "qm9",
         conditioning=list(conditioning),
         ae_path=None,
         cuda=False,  # qm9/models.py:118 picks the device from this
-        ema_decay=0.9999,  # makes upstream --ae_path reuse pick the ema file
+        ema_decay=float(ema_decay),
         include_charges=(vae.include_charges if vae is not None
                          else model_cfg.diffusion.include_charges),
         context_node_nf=ctx_nf,

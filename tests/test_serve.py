@@ -114,6 +114,37 @@ def test_unseeded_requests_are_fresh(server):
     assert code3 == 200 and b3["molecules"] == b1["molecules"]
 
 
+def test_unseeded_base_has_startup_entropy(server):
+    """A restarted server must not replay the previous process's unseeded
+    molecule sequence: the auto-seed base mixes per-process entropy on top
+    of --seed (the probability it equals the bare CLI seed is 2^-48)."""
+    _, service = server
+    assert service._auto_seed_base != service.args.seed
+
+
+def test_n_steps_validated_and_quantized(server):
+    """n_steps is a trace-time constant (each distinct value = one
+    compiled sampler program): out-of-range values are rejected at parse
+    time, in-range non-ladder values snap to the nearest allowed setting
+    (echoed in the response), bounding the compiled-program space a
+    client can induce. Fixture checkpoint has T=6, server default 3."""
+    base, _ = server
+    # beyond this checkpoint's timestep count -> 400, not a late failure
+    code, body = _request(base, "/sample",
+                          {"sizes": [4], "n_steps": 7, "seed": 5})
+    assert code == 400 and "n_steps" in body["error"]
+    # 4 is not on the ladder: snaps down to 3 (ties prefer the smaller)
+    code, body = _request(base, "/sample",
+                          {"sizes": [4], "n_steps": 4, "seed": 5})
+    assert code == 200
+    assert body["sampler"]["n_steps"] == 3
+    # ladder values in range pass through unchanged
+    code, body = _request(base, "/sample",
+                          {"sizes": [4], "n_steps": 2, "seed": 5})
+    assert code == 200
+    assert body["sampler"]["n_steps"] == 2
+
+
 def test_validation_errors(server):
     base, _ = server
     code, body = _request(base, "/sample", {"sizes": []})

@@ -188,3 +188,41 @@ def test_ring_token_above_nine():
     s = sm.canonical_smiles(*_mol(bonds, symbols))
     symbols2, orders2, _ = sm.parse_smiles(s)
     assert sm.canonical_smiles(symbols2, orders2) == s
+
+
+def _carbon_cycle(n):
+    orders = np.zeros((n, n), dtype=np.int64)
+    for i in range(n):
+        orders[i, (i + 1) % n] = orders[(i + 1) % n, i] = 1
+    return ["C"] * n, orders
+
+
+def test_budget_exhaustion_falls_back_to_invariant_wl_key():
+    """When the branch budget runs out mid-tie-breaking, WHICH branches
+    were explored depends on input atom order — so instead of a possibly
+    ordering-dependent minimum, the writer returns a permutation-invariant
+    WL graph key (distinctively marked, rejected by the parser)."""
+    symbols, orders = _carbon_cycle(12)
+    base = sm.canonical_smiles(symbols, orders, branch_budget=2)
+    assert base.startswith("*WL:") and base.endswith("*")
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        perm = rng.permutation(12)
+        p = _permute(symbols, orders, None, perm)
+        assert sm.canonical_smiles(*p, branch_budget=2) == base
+    with pytest.raises(sm.SmilesError):
+        sm.parse_smiles(base)
+    # Different graphs must not collide on the fallback key.
+    sym11, ord11 = _carbon_cycle(11)
+    assert sm.canonical_smiles(sym11, ord11, branch_budget=2) != base
+
+
+def test_default_budget_yields_real_smiles_on_symmetric_ring():
+    """The default budget canonicalizes a plain carbon ring fully — the WL
+    fallback only engages on pathological symmetry + tiny budgets."""
+    symbols, orders = _carbon_cycle(12)
+    s = sm.canonical_smiles(symbols, orders)
+    assert not s.startswith("*WL:")
+    got_sym, got_ord, _ = sm.parse_smiles(s)
+    assert sorted(got_sym) == symbols
+    assert int(got_ord.sum()) == int(orders.sum())

@@ -208,3 +208,22 @@ def test_load_checkpoint_mismatch_is_readable(tmp_path):
     wrong = {"params": factory.init_params(jax.random.key(0), cfg_big)}
     with pytest.raises(ValueError, match="different config"):
         ckpt.load_checkpoint(str(tmp_path / "ck"), template=wrong, name="best")
+
+
+def test_export_args_thread_real_ema_decay(capsys):
+    """args.pickle must carry the decay the checkpoint was actually
+    trained with; the 0.9999 reference default is only a fallback and
+    prints a warning (upstream tooling reads this field, e.g. --ae_path
+    reuse picks the ema weights file when it is > 0)."""
+    from geoldm_tpu.models import factory
+    from geoldm_tpu.utils.torch_convert import reference_args_from_model_config
+
+    cfg = factory.make_latent_diffusion_config(
+        INFO, nf=16, n_layers=1, latent_nf=1, diffusion_steps=6)
+    ns = reference_args_from_model_config(cfg, ema_decay=0.995)
+    assert ns.ema_decay == 0.995
+    assert "warning" not in capsys.readouterr().out
+
+    ns = reference_args_from_model_config(cfg)
+    assert ns.ema_decay == 0.9999
+    assert "ema_decay" in capsys.readouterr().out
