@@ -282,19 +282,24 @@ def run_training(args, dataset_info, splits, charge_scale, loaders=None) -> None
     if sp > 1:
         # Sequence parallelism: (data, seq) mesh; the EGNN atom-row sharding
         # rides the ``seq`` axis inside the compute spec, batches shard over
-        # ``data`` as usual. TP and the fused Pallas kernels are per-chip
-        # strategies — not composable with SP.
+        # ``data`` as usual. TP shards the same hidden dim SP's gathers
+        # assume replicated — not composable. The fused Pallas kernels DO
+        # compose: each slab's math runs as the row-tiled kernels
+        # (ops/pallas_egnn_sp.py); interpret mode engages automatically on
+        # CPU meshes so the combination stays testable without a pod.
         if args.tp > 1:
             raise ValueError("--sp and --tp cannot be combined")
-        if "pallas" in args.compute_dtype:
-            raise ValueError("--sp requires an XLA compute path (not pallas)")
         from geoldm_tpu.nn.core import resolve_compute, sp_spec
         from geoldm_tpu.parallel.sp import make_sp_mesh
 
         n_dev = len(jax.devices())
         dp = args.dp if args.dp > 0 else max(1, n_dev // sp)
         mesh = make_sp_mesh(dp=dp, sp=sp)
-        compute_dtype = sp_spec(mesh, resolve_compute(compute_dtype).dtype)
+        use_pallas = "pallas" in args.compute_dtype
+        compute_dtype = sp_spec(
+            mesh, resolve_compute(compute_dtype).dtype, pallas=use_pallas,
+            interpret=use_pallas and jax.devices()[0].platform == "cpu",
+        )
     else:
         mesh = shd.make_mesh(dp=args.dp, tp=args.tp) if (args.dp != 1 or args.tp > 1) else None
     if mesh is not None and mesh.size > 1:

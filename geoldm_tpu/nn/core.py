@@ -52,12 +52,22 @@ class ComputeSpec(NamedTuple):
     # backward are sharded; grads match the single-device path
     # (tests/test_sp.py). Constructed via sp_spec(), not a string name.
     sp_mesh: Optional[object] = None
+    # With sp_mesh set: execute each SP slab's math as the row-tiled fused
+    # Pallas kernels (ops/pallas_egnn_sp.py) instead of plain XLA — the
+    # single-chip fused-kernel training win inside each shard.
+    sp_pallas: bool = False
+    # Pallas interpret mode (CPU meshes: tests + the multichip dryrun).
+    interpret: bool = False
 
 
-def sp_spec(mesh, dtype=None) -> ComputeSpec:
+def sp_spec(mesh, dtype=None, pallas: bool = False,
+            interpret: bool = False) -> ComputeSpec:
     """ComputeSpec for sequence-parallel EGNN execution over ``mesh``'s
-    ``seq`` axis (optionally with a matmul-operand compute dtype)."""
-    return ComputeSpec(dtype=dtype, backend="sp", sp_mesh=mesh)
+    ``seq`` axis (optionally with a matmul-operand compute dtype).
+    ``pallas`` runs each slab's math as the row-tiled fused kernels;
+    ``interpret`` selects Pallas interpret mode for CPU meshes."""
+    return ComputeSpec(dtype=dtype, backend="sp", sp_mesh=mesh,
+                       sp_pallas=pallas, interpret=interpret)
 
 
 def resolve_compute(compute_dtype) -> ComputeSpec:

@@ -59,7 +59,8 @@ def _run_egnn(egnn_params, egnn_cfg, h, x, node_mask, edge_mask, compute_dtype):
         from geoldm_tpu.parallel.sp import egnn_apply_sp
 
         return egnn_apply_sp(
-            egnn_params, egnn_cfg, h, x, node_mask, spec.sp_mesh, spec.dtype
+            egnn_params, egnn_cfg, h, x, node_mask, spec.sp_mesh, spec.dtype,
+            use_pallas=spec.sp_pallas, interpret=spec.interpret,
         )
     return egnn_apply(egnn_params, egnn_cfg, h, x, node_mask, edge_mask, spec)
 

@@ -36,8 +36,19 @@ def grad_compiler_options(kib: int = RAISED_SCOPED_VMEM_KIB) -> dict:
 
 def train_step_compiler_options(compute_dtype) -> dict | None:
     """The options a train-step jit needs for the given compute mode
-    (None when the XLA path is used and the default limit suffices)."""
+    (None when the XLA path is used and the default limit suffices, or
+    when the backend is not a TPU — the scoped-VMEM option is TPU-only
+    and XLA:CPU rejects unknown compile options, which matters for
+    interpret-mode pallas runs on virtual CPU meshes)."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
     name = getattr(compute_dtype, "backend", compute_dtype)
     if isinstance(name, str) and "pallas" in name:
+        return grad_compiler_options()
+    if getattr(compute_dtype, "sp_pallas", False):
+        # SP slabs running the row-tiled fused kernels: same backward
+        # live-set contract as the single-chip pallas path.
         return grad_compiler_options()
     return None
