@@ -66,13 +66,61 @@ def adaptive_grad_clip(max_len: int = 50, init_value: float = 3000.0) -> optax.G
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def scale_by_amsgrad_torch(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """AMSGrad with PyTorch's bias-correction placement.
+
+    torch maxes the RAW second-moment EMA and divides the max by the
+    CURRENT step's bias correction (``denom = sqrt(max_nu / bc2) + eps``,
+    torch/optim/adam.py), so an early gradient spike's influence decays
+    as ``bc2 -> 1``. ``optax.scale_by_amsgrad`` instead maxes the
+    bias-CORRECTED ``nu_hat``, permanently locking in the inflated
+    early-step values: under a decaying-gradient sequence its step sizes
+    shrink to ~0.26x torch's within 300 steps (measured, both optimizers
+    fed identical gradients), which surfaced as PARITY_TRAIN's
+    early-window loss-ratio bump (pooled jax/torch 1.084 in steps 50-99,
+    all 5 seeds > 1, decaying to ~1.00 by step 250). The reference trains
+    with AdamW(amsgrad=True) (qm9/models.py:169-175), so torch semantics
+    are the parity-correct choice. State layout reuses
+    optax.ScaleByAmsgradState — checkpoint templates are unchanged."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
+        return optax.ScaleByAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(), nu=zeros(),
+            nu_max=zeros(),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count_inc = optax.safe_increment(state.count)
+        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g,
+                          updates, state.mu)
+        nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * g * g,
+                          updates, state.nu)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        c = count_inc.astype(jnp.float32)
+        bc1 = 1.0 - jnp.asarray(b1, jnp.float32) ** c
+        bc2 = 1.0 - jnp.asarray(b2, jnp.float32) ** c
+        updates = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
+        )
+        return updates, optax.ScaleByAmsgradState(
+            count=count_inc, mu=mu, nu=nu, nu_max=nu_max
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     lr: float = 1e-4,
     weight_decay: float = 1e-12,
     clip_grad: bool = True,
     frozen_mask=None,
 ) -> optax.GradientTransformation:
-    """AMSGrad + decoupled weight decay (+ adaptive clipping).
+    """AMSGrad (torch semantics) + decoupled weight decay (+ adaptive
+    clipping).
 
     ``frozen_mask``: optional pytree of bools (True = trainable); frozen
     leaves receive zero updates — the reference's requires_grad=False
@@ -80,7 +128,7 @@ def make_optimizer(
     parts = []
     if clip_grad:
         parts.append(adaptive_grad_clip())
-    parts.append(optax.scale_by_amsgrad())
+    parts.append(scale_by_amsgrad_torch())
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.scale(-lr))

@@ -40,7 +40,7 @@ sys.path.insert(0, REPO)
 
 
 def child_main(pid: int, n_hosts: int, devices_per_host: int, port: int,
-               steps: int) -> None:
+               steps: int, skip_sample: bool = False) -> None:
     import jax
 
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -112,35 +112,43 @@ def child_main(pid: int, n_hosts: int, devices_per_host: int, port: int,
         assert np.isfinite(loss), f"non-finite multihost loss {loss}"
 
     # Single-device reference on the full batch (first step only): the
-    # cross-process DP loss must equal it.
-    state1, tx1 = create_train_state(jax.random.key(0), cfg, tc)
-    step1 = jax.jit(make_train_step(cfg, tc, tx1))
-    with jax.default_device(jax.local_devices()[0]):
-        b1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        _, m1 = step1(state1, b1, jax.random.fold_in(key, 0))
-    loss1 = float(m1["loss"])
+    # cross-process DP loss must equal it. Process 0 only — it is the one
+    # that prints the verdict line, and compiling the same reference step
+    # in every process doubles the wall-clock for no extra signal.
+    loss1 = None
+    if pid == 0:
+        state1, tx1 = create_train_state(jax.random.key(0), cfg, tc)
+        step1 = jax.jit(make_train_step(cfg, tc, tx1))
+        with jax.default_device(jax.local_devices()[0]):
+            b1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            _, m1 = step1(state1, b1, jax.random.fold_in(key, 0))
+        loss1 = float(m1["loss"])
 
     # Cross-process sharded sampling: one reverse-diffusion scan over a
-    # batch sharded across hosts.
-    sample_fn = factory.model_sample_fn(cfg)
-    nm_np = np.zeros((n_global, 12, 1), np.float32)
-    nm_np[:, :9] = 1.0
-    a = nm_np[:, :, 0]
-    em_np = (a[:, :, None] * a[:, None, :]) * (
-        1 - np.eye(12, dtype=np.float32)[None]
-    )
-    em_np = em_np[..., None]
-    per = n_global // n_hosts
-    nm = jax.make_array_from_process_local_data(bsh, nm_np[pid * per:(pid + 1) * per])
-    em = jax.make_array_from_process_local_data(bsh, em_np[pid * per:(pid + 1) * per])
+    # batch sharded across hosts. (--skip_sample drops this one compile —
+    # used when embedded in dryrun_multichip's time budget; the full run
+    # stays covered by tests/test_multihost.py.)
+    stat = float("nan")
+    if not skip_sample:
+        sample_fn = factory.model_sample_fn(cfg)
+        nm_np = np.zeros((n_global, 12, 1), np.float32)
+        nm_np[:, :9] = 1.0
+        a = nm_np[:, :, 0]
+        em_np = (a[:, :, None] * a[:, None, :]) * (
+            1 - np.eye(12, dtype=np.float32)[None]
+        )
+        em_np = em_np[..., None]
+        per = n_global // n_hosts
+        nm = jax.make_array_from_process_local_data(bsh, nm_np[pid * per:(pid + 1) * per])
+        em = jax.make_array_from_process_local_data(bsh, em_np[pid * per:(pid + 1) * per])
 
-    @jax.jit
-    def sample_stat(params, key, nm, em):
-        x, h_cat, h_int = sample_fn(params, key, nm, em)
-        return jnp.sum(x ** 2) + jnp.sum(h_cat ** 2)
+        @jax.jit
+        def sample_stat(params, key, nm, em):
+            x, h_cat, h_int = sample_fn(params, key, nm, em)
+            return jnp.sum(x ** 2) + jnp.sum(h_cat ** 2)
 
-    stat = float(sample_stat(state.ema_params, jax.random.key(2), nm, em))
-    assert np.isfinite(stat), f"non-finite sampling stat {stat}"
+        stat = float(sample_stat(state.ema_params, jax.random.key(2), nm, em))
+        assert np.isfinite(stat), f"non-finite sampling stat {stat}"
 
     # Sequence parallelism ACROSS hosts: a (data, seq) mesh whose ``seq``
     # axis pairs device i of host 0 with device i of host 1, so every
@@ -171,15 +179,15 @@ def child_main(pid: int, n_hosts: int, devices_per_host: int, port: int,
     sp_step = jax.jit(make_train_step(cfg, tc, tx_sp, compute_dtype=sp_spec(sp_mesh)))
     _, sp_metrics = sp_step(state_sp, sp_batch, jax.random.fold_in(key, 0))
     sp_loss = float(sp_metrics["loss"])
-    sp_err = abs(sp_loss - loss1)
-    assert sp_err < 1e-3 * max(1.0, abs(loss1)), (sp_loss, loss1)
 
     print(f"[p{pid}] mesh {n_hosts}x{devices_per_host} loss={loss:.4f} "
-          f"single-device loss={loss1:.4f} sample_stat={stat:.2f} "
+          f"single-device loss={loss1} sample_stat={stat:.2f} "
           f"cross-host-SP loss={sp_loss:.4f}", flush=True)
-    err = abs(loss - loss1) if steps == 1 else 0.0
-    assert err < 1e-3 * max(1.0, abs(loss1)), (loss, loss1)
     if pid == 0:
+        sp_err = abs(sp_loss - loss1)
+        assert sp_err < 1e-3 * max(1.0, abs(loss1)), (sp_loss, loss1)
+        err = abs(loss - loss1) if steps == 1 else 0.0
+        assert err < 1e-3 * max(1.0, abs(loss1)), (loss, loss1)
         print(f"multihost ok: hosts={n_hosts} devices={n_global} "
               f"loss={loss:.4f} dp_vs_single_err={err:.2e} "
               f"sample_stat={stat:.2f} "
@@ -210,12 +218,15 @@ def main(argv=None) -> int:
     ap.add_argument("--devices_per_host", type=int, default=4)
     ap.add_argument("--port", type=int, default=12731)
     ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--skip_sample", action="store_true",
+                    help="skip the cross-process sampling stat (one fewer "
+                         "compile; used when embedded in dryrun_multichip)")
     ap.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
 
     if args.child is not None:
         child_main(args.child, args.n_hosts, args.devices_per_host,
-                   args.port, args.steps)
+                   args.port, args.steps, skip_sample=args.skip_sample)
         return 0
 
     env = _scrubbed_env(args.devices_per_host)
@@ -224,7 +235,8 @@ def main(argv=None) -> int:
             [sys.executable, os.path.abspath(__file__),
              "--child", str(pid), "--n_hosts", str(args.n_hosts),
              "--devices_per_host", str(args.devices_per_host),
-             "--port", str(args.port), "--steps", str(args.steps)],
+             "--port", str(args.port), "--steps", str(args.steps)]
+            + (["--skip_sample"] if args.skip_sample else []),
             env=env, cwd=REPO,
         )
         for pid in range(args.n_hosts)

@@ -45,6 +45,7 @@ from geoldm_tpu.data.datasets_config import get_dataset_info  # noqa: E402
 from geoldm_tpu.diffusion import vdm  # noqa: E402
 from geoldm_tpu.evalsuite.analyze import analyze_stability_for_molecules  # noqa: E402
 from geoldm_tpu.models import factory  # noqa: E402
+from geoldm_tpu.train import optim as optim_mod  # noqa: E402
 from geoldm_tpu.ops.distance import build_edge_mask  # noqa: E402
 
 sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -134,7 +135,10 @@ def main(argv=None):
 
     opt_t = torch.optim.AdamW(ref.parameters(), lr=LR, amsgrad=True, weight_decay=1e-12)
     tx = optax.chain(
-        optax.scale_by_amsgrad(),
+        # torch-semantics AMSGrad (the trainer's transform): optax's
+        # variant maxes bias-corrected nu and under-steps early training
+        # (see train/optim.scale_by_amsgrad_torch docstring).
+        optim_mod.scale_by_amsgrad_torch(),
         optax.add_decayed_weights(1e-12),
         optax.scale(-LR),
     )

@@ -416,3 +416,77 @@ def test_frozen_mask_zeroes_updates_even_with_nonzero_grads():
     upd, _ = tx.update(grads, st, params)
     np.testing.assert_array_equal(np.asarray(upd["vae"]["w"]), 0.0)
     assert np.max(np.abs(np.asarray(upd["dynamics"]["w"]))) > 0
+
+
+def test_amsgrad_torch_maxes_raw_second_moment():
+    """scale_by_amsgrad_torch must max the RAW nu and bias-correct the max
+    with the CURRENT step's correction (torch semantics): after a large
+    early gradient followed by small ones, its denominator decays as
+    bc2 -> 1, while optax.scale_by_amsgrad's (max over bias-corrected
+    nu-hat) stays pinned at the inflated early value. Verified against a
+    literal numpy transcription of torch/optim/adam.py."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    tx = optim_mod.scale_by_amsgrad_torch(b1, b2, eps)
+    g_seq = [5.0, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]
+
+    params = {"w": jnp.zeros((1,))}
+    state = tx.init(params)
+    got = []
+    for g in g_seq:
+        upd, state = tx.update({"w": jnp.full((1,), g)}, state, params)
+        got.append(float(upd["w"][0]))
+
+    mu = nu = nu_max = 0.0
+    want = []
+    for t, g in enumerate(g_seq, start=1):
+        mu = b1 * mu + (1 - b1) * g
+        nu = b2 * nu + (1 - b2) * g * g
+        nu_max = max(nu_max, nu)
+        bc1, bc2 = 1 - b1**t, 1 - b2**t
+        want.append((mu / bc1) / (np.sqrt(nu_max / bc2) + eps))
+    # f32 transform vs f64 numpy reference
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    # And the optax variant really is different here (the documented bug
+    # this transform exists to avoid) — steps shrink under it.
+    tx_ox = optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps)
+    st = tx_ox.init(params)
+    ox = []
+    for g in g_seq:
+        upd, st = tx_ox.update({"w": jnp.full((1,), g)}, st, params)
+        ox.append(float(upd["w"][0]))
+    assert ox[-1] < 0.75 * got[-1], (ox[-1], got[-1])
+
+
+@pytest.mark.slow
+def test_amsgrad_torch_matches_torch_trajectory():
+    """Parameter trajectories through make_optimizer's AMSGrad match
+    torch.optim.Adam(amsgrad=True) exactly (same gradient sequence,
+    decaying magnitudes — the regime where the optax variant diverges to
+    ~0.26x step sizes; reference trains with amsgrad, qm9/models.py:175)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    grads = [
+        (3.0 / (1 + 0.1 * t)) * rng.standard_normal(6).astype(np.float32)
+        for t in range(120)
+    ]
+    lr = 5e-4
+
+    p_t = torch.zeros(6, requires_grad=True)
+    opt = torch.optim.Adam([p_t], lr=lr, amsgrad=True)
+    for g in grads:
+        opt.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    tx = optax.chain(optim_mod.scale_by_amsgrad_torch(), optax.scale(-lr))
+    p_j = jnp.zeros(6)
+    st = tx.init(p_j)
+    for g in grads:
+        upd, st = tx.update(jnp.asarray(g), st, p_j)
+        p_j = optax.apply_updates(p_j, upd)
+
+    np.testing.assert_allclose(
+        np.asarray(p_j), p_t.detach().numpy(), atol=2e-6
+    )
