@@ -1,7 +1,14 @@
 """Decompose the flagship train step's device time: loss forward only,
 value+grad, and the full optimizer step — each K-scanned in one dispatch.
+``--dataset geom`` benches the GEOM recipe (nf=256, 4 layers,
+latent_nf=2, row-tiled kernels at --pad >= 48 — same model_kw as
+bench.py's geom branch) instead;
+``--bwd_mode xla`` times the rematerialized-XLA backward against the
+fused tiled one at the same shape (the round-3 verdict's GEOM-backward
+attribution ask).
 
 Usage: python scripts/bench_train_decompose.py [--dtype pallas]
+       [--dataset geom --pad 64 --batch_size 64] [--bwd_mode xla]
 """
 
 from __future__ import annotations
@@ -23,7 +30,15 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--pad", type=int, default=32)
+    p.add_argument("--dataset", type=str, default="qm9",
+                   choices=["qm9", "geom"])
+    p.add_argument("--bwd_mode", type=str, default=None,
+                   choices=["pallas", "xla"],
+                   help="tiled-kernel backward path (GEOLDM_TILED_BWD)")
     args = p.parse_args()
+    if args.bwd_mode:
+        os.environ["GEOLDM_TILED_BWD"] = args.bwd_mode
+        os.environ["GEOLDM_PALLAS_BWD"] = args.bwd_mode
 
     import jax
     import jax.numpy as jnp
@@ -41,13 +56,19 @@ def main() -> None:
     from geoldm_tpu.train import train_step as ts
     from geoldm_tpu.utils.tpuflags import train_step_compiler_options
 
-    info = get_dataset_info("qm9")
-    cfg = factory.make_latent_diffusion_config(
-        info, nf=256, n_layers=9, latent_nf=1, diffusion_steps=1000,
-        # The XLA f32 backward OOMs 16GB HBM without remat; the fused
-        # pallas backward needs neither.
-        trainable_ae=True, remat="pallas" not in args.dtype,
-    )
+    info = get_dataset_info(args.dataset)
+    if args.dataset == "geom":
+        cfg = factory.make_latent_diffusion_config(
+            info, nf=256, n_layers=4, latent_nf=2, diffusion_steps=1000,
+            trainable_ae=True, remat="pallas" not in args.dtype,
+        )
+    else:
+        cfg = factory.make_latent_diffusion_config(
+            info, nf=256, n_layers=9, latent_nf=1, diffusion_steps=1000,
+            # The XLA f32 backward OOMs 16GB HBM without remat; the fused
+            # pallas backward needs neither.
+            trainable_ae=True, remat="pallas" not in args.dtype,
+        )
     tc = TrainConfig(compute_dtype=args.dtype)
     spec = resolve_compute(None if args.dtype == "float32" else args.dtype)
     state, tx = ts.create_train_state(jax.random.key(0), cfg, tc)
