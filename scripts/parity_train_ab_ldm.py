@@ -452,6 +452,47 @@ def write_report(results, args, elapsed, out_path):
         f"jax {fmt(ja)}; molecule stability torch {fmt(tm)} vs jax {fmt(jm)}.",
         f"Atom-stability CIs overlap: {'yes' if (ta[1] <= ja[2] and ja[1] <= ta[2]) else 'NO'}; "
         f"molecule-stability CIs overlap: {'yes' if (tm[1] <= jm[2] and jm[1] <= tm[2]) else 'NO'}.",
+    ]
+
+    # Attribution of the round-3 detected molecule-stability effect and of
+    # the early-window loss-ratio bump (round-3 verdict items 2 and 8).
+    early_ratio = float(
+        np.mean([wj[1] for wj in wj_all]) / np.mean([wt[1] for wt in wt_all])
+    ) if n_win > 1 else float("nan")
+    lines += [
+        "",
+        "## Framework-effect attribution (round 4)",
+        "",
+        "Round 3's 5-seed run detected a paired molecule-stability",
+        "difference (+0.031 [+0.003, +0.060], jax ahead). Two follow-ups",
+        "isolated it:",
+        "",
+        "1. **Not the sampler.** The weights-crossed 2×2 A/B",
+        "   (docs/STABILITY_CROSS.md; 10,008 molecules/side, trained weights",
+        "   crossed between frameworks) holds weights fixed and swaps",
+        "   samplers: the molecule-stability sampler effect is +0.007",
+        "   [-0.002, +0.016] — covers zero and caps any sampler/decoder",
+        "   contribution well below the detected +0.031 — while the",
+        "   weights effect reproduces it exactly (+0.031 [+0.022, +0.040]).",
+        "   The effect rides in the trained weights.",
+        "2. **The optimizers genuinely differed.** optax.scale_by_amsgrad",
+        "   maxes the bias-CORRECTED second moment, permanently locking in",
+        "   inflated early values — measured effective steps decay to",
+        "   ~0.26× torch's under decaying gradients — where torch maxes the",
+        "   RAW nu and bias-corrects the max with the current step. That",
+        "   asymmetry was also the root cause of the early-window loss-ratio",
+        "   bump (pooled jax/torch 1.084 at steps 50-99 in the round-3",
+        "   table; with the matched train/optim.scale_by_amsgrad_torch the",
+        f"   same window above measures {early_ratio:.3f}). Trajectories now",
+        "   match torch.optim.Adam(amsgrad=True) to 2e-6 over 120 steps",
+        "   (tests/test_train.py amsgrad suite).",
+        "",
+        "The table above is the matched-optimizer rerun; its paired",
+        "molecule-stability row is the post-fix verdict on whether any",
+        "framework effect remains.",
+    ]
+
+    lines += [
         "",
         f"Wall-clock: {elapsed/60:.1f} min total on 1 CPU core "
         "(both frameworks, all seeds, training + sampling).",
