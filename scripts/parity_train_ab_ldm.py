@@ -247,8 +247,13 @@ def run_seed(seed: int, batches, args, results):
         for i, n in enumerate(SIZES):
             nm = jnp.ones((per_size, int(n), 1))
             em = build_edge_mask(nm)
+            # Seed-dependent eval keys: a key shared across seeds would give
+            # every jax cell at this step the SAME eval-noise realization —
+            # a common component the paired-across-seeds test cannot cancel
+            # (it biased v2's jax cells by up to ~±0.02 together).
             x_s, h_cat_s, _ = sample_j(
-                params, jax.random.key(7000 + 31 * step + i), nm, em
+                params, jax.random.key(seed * 1_000_003 + 7000 + 31 * step + i),
+                nm, em,
             )
             pad_x = np.zeros((per_size, PAD, 3), np.float32)
             pad_oh = np.zeros((per_size, PAD, 5), np.float32)
@@ -262,6 +267,18 @@ def run_seed(seed: int, batches, args, results):
             {"seed": seed, "step": step,
              "torch": list(t_counts), "jax": list(j_counts)}
         )
+        if args.save_ckpt_dir:
+            os.makedirs(args.save_ckpt_dir, exist_ok=True)
+            torch.save(
+                ref.state_dict(),
+                os.path.join(args.save_ckpt_dir, f"torch_s{seed}_step{step}.pt"),
+            )
+            import pickle
+
+            with open(
+                os.path.join(args.save_ckpt_dir, f"jax_s{seed}_step{step}.pkl"), "wb"
+            ) as fh:
+                pickle.dump(jax.tree.map(np.asarray, params), fh)
         ta = wilson_ci(t_counts[0], t_counts[1])
         ja = wilson_ci(j_counts[0], j_counts[1])
         print(f"  [seed {seed}] step {step}: atm torch {ta[0]:.3f} "
@@ -407,13 +424,25 @@ def write_report(results, args, elapsed, out_path):
     def tci(d):
         # two-sided 95% t interval for the paired mean difference
         from numpy import mean, std
-        tq = {3: 3.182, 7: 2.365, 11: 2.201, 15: 2.131}.get(len(d) - 1, 2.0)
+        tq = {1: 12.71, 3: 3.182, 4: 2.776, 7: 2.365, 9: 2.262,
+              11: 2.201, 15: 2.131, 19: 2.093}.get(len(d) - 1, 2.0)
         m = float(mean(d))
         se = float(std(d, ddof=1)) / math.sqrt(len(d))
         return m, m - tq * se, m + tq * se
 
     da = tci(ja - ta)
     dm = tci(jm - tm)
+
+    # Seed-clustered variant: the step-300 and step-600 cells of one seed
+    # share a trajectory, so the per-cell interval above understates the
+    # variance. Average the checkpoints within each seed first and take
+    # the t interval over the n_seeds seed-level diffs — the conservative
+    # number to quote.
+    cell_seeds = np.array([r["seed"] for r in results["stab"]])
+    def cluster(d):
+        return np.array([d[cell_seeds == s].mean() for s in seeds])
+    da_cl = tci(cluster(ja - ta))
+    dm_cl = tci(cluster(jm - tm))
     n_cells = len(ta)
     half_binom = 1.96 * math.sqrt(0.25 / float(results["stab"][0]["torch"][1]))
     lines += [
@@ -435,6 +464,12 @@ def write_report(results, args, elapsed, out_path):
         f"| molecule stability | {tm.mean():.3f} | {jm.mean():.3f} | "
         f"{dm[0]:+.3f} [{dm[1]:+.3f}, {dm[2]:+.3f}] | "
         f"{'none detectable' if dm[1] <= 0 <= dm[2] else 'DETECTED'} |",
+        "",
+        f"Seed-clustered (checkpoints averaged within seed first, t over "
+        f"the {len(seeds)} seed-level diffs — conservative w.r.t. the "
+        "within-seed checkpoint correlation): atom "
+        f"{da_cl[0]:+.3f} [{da_cl[1]:+.3f}, {da_cl[2]:+.3f}], molecule "
+        f"{dm_cl[0]:+.3f} [{dm_cl[1]:+.3f}, {dm_cl[2]:+.3f}].",
     ]
 
     # Pooled across seeds at the final step.
@@ -487,10 +522,31 @@ def write_report(results, args, elapsed, out_path):
         "   match torch.optim.Adam(amsgrad=True) to 2e-6 over 120 steps",
         "   (tests/test_train.py amsgrad suite).",
         "",
-        "The table above is the matched-optimizer rerun; its paired",
-        "molecule-stability row is the post-fix verdict on whether any",
-        "framework effect remains.",
+        "The table above is the matched-optimizer rerun; its paired rows",
+        "are the post-fix verdict on whether any framework effect remains.",
     ]
+    residual = not (da_cl[1] <= 0 <= da_cl[2]) or not (dm_cl[1] <= 0 <= dm_cl[2])
+    if residual:
+        lines += [
+            "",
+            "**Residual effect after the optimizer fix.** The seed-clustered",
+            "paired interval still excludes zero, so the optimizer asymmetry",
+            "was not the whole story. What is and is not known about the",
+            "residual:",
+            "",
+            "- The weights-crossed A/B (docs/STABILITY_CROSS.md) bounds the",
+            "  SAMPLER's contribution at about +0.008 atom / +0.007 molecule",
+            "  — an order of magnitude below the residual — so it rides in",
+            "  the trained weights.",
+            "- The per-step map is parity-tested (grads at f32 tolerance,",
+            "  optimizer trajectories to 2e-6/120 steps) and every training",
+            "  draw distribution matches the reference analytically",
+            "  (t ~ U{0..T} per molecule, CoM-projected position noise,",
+            "  masked standard feature noise, encoder noise).",
+            "- docs/PARITY_LOCKSTEP.md drives both frameworks with",
+            "  IDENTICAL draw realizations to separate map differences from",
+            "  draw/statistics effects; see its verdict for the attribution.",
+        ]
 
     lines += [
         "",
@@ -524,6 +580,10 @@ def main(argv=None):
     ap.add_argument("--report_only", type=str, default=None,
                     help="regenerate the report from a saved --json_out file "
                          "without retraining")
+    ap.add_argument("--save_ckpt_dir", type=str, default=None,
+                    help="save torch state_dicts + jax param pickles at every "
+                         "eval step (enables sampler-crossed re-evals without "
+                         "retraining)")
     args = ap.parse_args(argv)
     torch.set_num_threads(max(1, len(os.sched_getaffinity(0))))
 
