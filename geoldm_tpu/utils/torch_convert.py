@@ -28,7 +28,13 @@ def _strip_module_prefix(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     for k, v in sd.items():
         if k.startswith("module."):
             k = k[len("module."):]
-        out[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        # copy=True: .numpy() is a view of the torch storage, and jax's CPU
+        # backend can zero-copy alias numpy arrays — without the copy, a
+        # later in-place torch update (optimizer step) would silently mutate
+        # the converted weights.
+        out[k] = np.array(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v, copy=True
+        )
     return out
 
 

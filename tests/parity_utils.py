@@ -8,10 +8,17 @@ if REFERENCE not in sys.path:
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def t2j(t):
-    return jnp.asarray(t.detach().numpy())
+    # np.array(..., copy=True): jax's CPU backend can ZERO-COPY alias a
+    # numpy array, and t.detach().numpy() is itself a view of the torch
+    # parameter storage — without the copy, a later torch optimizer step
+    # mutates the "jax" weights in place. In the free-running parity A/Bs
+    # (torch steps first each iteration) that silently handed the jax side
+    # torch's post-step-0 weights, i.e. a permanent one-step head start.
+    return jnp.asarray(np.array(t.detach().numpy(), copy=True))
 
 
 def linear_from_torch(mod):
