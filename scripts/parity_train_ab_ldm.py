@@ -546,6 +546,16 @@ def write_report(results, args, elapsed, out_path):
             "- docs/PARITY_LOCKSTEP.md drives both frameworks with",
             "  IDENTICAL draw realizations to separate map differences from",
             "  draw/statistics effects; see its verdict for the attribution.",
+            "- **Known defect of runs before the round-4 aliasing fix**",
+            "  (tests/parity_utils.t2j): the transferred jax init ALIASED",
+            "  the torch parameter storage, so torch's step-0 optimizer",
+            "  update mutated the jax weights before jax's first step — the",
+            "  jax side trained from torch's post-step-0 point, a permanent",
+            "  one-step head start (visible as jax winning the 0-49 loss",
+            "  window in 9/10 seeds above). Runs after the fix start from",
+            "  the exact shared init; pre-fix stability tables carry this",
+            "  bias and need a post-fix re-run to count as a clean",
+            "  framework comparison.",
         ]
 
     lines += [
