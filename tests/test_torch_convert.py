@@ -227,3 +227,26 @@ def test_export_args_thread_real_ema_decay(capsys):
     ns = reference_args_from_model_config(cfg)
     assert ns.ema_decay == 0.9999
     assert "ema_decay" in capsys.readouterr().out
+
+
+def test_weight_transfer_copies_do_not_alias_torch_storage():
+    """Regression for the round-4 aliasing bug: jax's CPU backend can
+    zero-copy a numpy view of torch parameter storage, so an in-place
+    torch update (optimizer step) silently mutated transferred weights.
+    Both transfer paths must COPY."""
+    from tests.parity_utils import t2j
+    from geoldm_tpu.utils.torch_convert import _strip_module_prefix
+
+    lin = torch.nn.Linear(4, 3)
+    j = t2j(lin.weight)
+    sd = _strip_module_prefix(lin.state_dict())
+    before_t2j = np.asarray(j).copy()
+    before_sd = sd["weight"].copy()
+
+    with torch.no_grad():
+        lin.weight.add_(1.0)  # in-place, like an optimizer step
+
+    np.testing.assert_array_equal(np.asarray(j), before_t2j)
+    np.testing.assert_array_equal(sd["weight"], before_sd)
+    # and the torch side really did change (the test isn't vacuous)
+    assert float((lin.weight.detach().numpy() - before_t2j).min()) > 0.5
