@@ -422,12 +422,18 @@ def write_report(results, args, elapsed, out_path):
     jm = np.array([r["jax"][2] / r["jax"][3] for r in results["stab"]])
 
     def tci(d):
-        # two-sided 95% t interval for the paired mean difference
-        from numpy import mean, std
-        tq = {1: 12.71, 3: 3.182, 4: 2.776, 7: 2.365, 9: 2.262,
-              11: 2.201, 15: 2.131, 19: 2.093}.get(len(d) - 1, 2.0)
-        m = float(mean(d))
-        se = float(std(d, ddof=1)) / math.sqrt(len(d))
+        # two-sided 95% t interval for the paired mean difference.
+        # The quantile table must cover EVERY df that can reach here — a
+        # silent fallback to 2.0 at df=2 once mislabeled a 3-seed run as
+        # "DETECTED" (correct t_{2,.975} is 4.303, more than twice 2.0).
+        tq_table = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+                    6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228,
+                    11: 2.201, 12: 2.179, 14: 2.145, 15: 2.131, 19: 2.093,
+                    24: 2.064, 29: 2.045}
+        df = len(d) - 1
+        tq = tq_table.get(df) or tq_table[max(k for k in tq_table if k <= df)]
+        m = float(np.mean(d))
+        se = float(np.std(d, ddof=1)) / math.sqrt(len(d))
         return m, m - tq * se, m + tq * se
 
     da = tci(ja - ta)
