@@ -328,6 +328,20 @@ def write_report(results, args, elapsed):
         )
     lines += [
         "",
+        "**Validity caveat (important).** The pooled SAMPLER rows are the",
+        "instrument this A/B is built for: within a seed the two sampler",
+        "cells share trained weights exactly, so trajectory noise cancels",
+        "and binomial CIs are the right error bars. The pooled WEIGHTS",
+        "rows are NOT a valid framework test: a weights contrast compares",
+        "two independently-trained checkpoints, whose stability varies",
+        "across training trajectories with sd ~0.10 — far above binomial",
+        "noise — and the per-seed rows here differ wildly (e.g. atom",
+        "+0.141 on one seed vs +0.005 on the next). Binomial pooling",
+        "ignores that across-seed variance entirely. Read the weights",
+        "effect from PARITY_TRAIN.md's seed-clustered paired interval",
+        "(10 seeds) instead; the weights rows here only serve to show the",
+        "sampler contrast is the small term.",
+        "",
         f"Wall-clock: {elapsed/60:.1f} min on 1 CPU core.",
         "",
         f"Reproduce: `JAX_PLATFORMS=cpu python scripts/stability_cross_ab.py "
