@@ -460,7 +460,15 @@ def _wait_for_backend() -> bool:
 
 
 def _last_good_bench() -> tuple[dict | None, str | None]:
-    """Newest driver artifact (BENCH_r*.json) with a parsed result."""
+    """Newest driver artifact (BENCH_r*.json) with a GOOD parsed result.
+
+    A "good" record carries a numeric ``value`` and no ``error`` key —
+    an outage round's artifact is itself a structured record (with
+    ``error: backend_unavailable`` and no ``value``), and naively
+    trusting it would nest outage records recursively across
+    consecutive outage rounds, producing a numbers-free ``last_good``
+    (the round-4 failure: BENCH_r04.json was an outage record and the
+    old scan picked it over BENCH_r02.json's real numbers)."""
     import glob
     import re
 
@@ -475,7 +483,11 @@ def _last_good_bench() -> tuple[dict | None, str | None]:
                 parsed = json.load(f).get("parsed")
         except (OSError, json.JSONDecodeError):
             continue
-        if parsed and int(m.group(1)) > best_round:
+        if not isinstance(parsed, dict) or "error" in parsed:
+            continue
+        if not isinstance(parsed.get("value"), (int, float)):
+            continue
+        if int(m.group(1)) > best_round:
             best, best_name, best_round = parsed, os.path.basename(path), int(m.group(1))
     return best, best_name
 

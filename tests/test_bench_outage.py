@@ -41,12 +41,29 @@ def test_outage_emits_structured_record_and_exits_promptly():
     assert lg["metric"] == "qm9_sample_mol_per_sec" and lg["value"] > 0
 
 
-def test_last_good_prefers_newest_parsed_artifact(tmp_path, monkeypatch):
+def _import_bench():
     sys.path.insert(0, REPO)
     try:
         import bench
     finally:
         sys.path.pop(0)
+    return bench
+
+
+def _outage_record(last_good, artifact):
+    """The structured record bench.py emits (and the driver archives as
+    BENCH_r{N}.json's ``parsed``) when the backend is unreachable."""
+    return {
+        "metric": "qm9_sample_mol_per_sec",
+        "error": "backend_unavailable",
+        "stale": True,
+        "last_good": last_good,
+        "last_good_artifact": artifact,
+    }
+
+
+def test_last_good_prefers_newest_parsed_artifact(tmp_path, monkeypatch):
+    bench = _import_bench()
     # Build a fake artifact dir: r01 parsed, r02 parsed=null (outage),
     # r03 parsed — must pick r03, skipping the null.
     for n, parsed in ((1, {"value": 1.0}), (2, None), (3, {"value": 3.0})):
@@ -58,3 +75,55 @@ def test_last_good_prefers_newest_parsed_artifact(tmp_path, monkeypatch):
     )
     best, name = bench._last_good_bench()
     assert name == "BENCH_r03.json" and best == {"value": 3.0}
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "history",
+    [
+        # One prior outage ROUND with a structured record: the round-4
+        # reality. r02 has real numbers, r03 parsed=null (pre-structured
+        # outage), r04 is a structured outage record (parsed carries
+        # "error" and no "value"). Scan must reach back to r02.
+        ("single_structured_outage", 2),
+        # TWO consecutive structured outage rounds, the second of which
+        # nests the first (what the buggy scan would have produced):
+        # must still reach back to the newest real-numbers artifact.
+        ("double_structured_outage", 2),
+        # Degenerate parsed shapes must never win: non-dict parsed,
+        # dict with non-numeric value, dict with no value at all.
+        ("degenerate_parsed", 1),
+    ],
+)
+def test_last_good_skips_error_records(tmp_path, monkeypatch, history):
+    """Drill: consecutive outage rounds must never chain outage records
+    into ``last_good`` — it must always carry real numbers from the
+    newest non-error artifact (round-4 judge finding)."""
+    bench = _import_bench()
+    kind, expect_round = history
+    good = {"metric": "qm9_sample_mol_per_sec", "value": 48.895,
+            "unit": "mol/s", "vs_baseline": 2.934}
+    arts = {1: {"value": 12.3, "metric": "qm9_sample_mol_per_sec"}, 2: good}
+    if kind == "single_structured_outage":
+        arts[3] = None
+        arts[4] = _outage_record(good, "BENCH_r02.json")
+    elif kind == "double_structured_outage":
+        o4 = _outage_record(good, "BENCH_r02.json")
+        arts[3] = None
+        arts[4] = o4
+        arts[5] = _outage_record(o4, "BENCH_r04.json")  # nested outage
+    else:  # degenerate_parsed
+        arts[2] = {"value": "fast"}      # non-numeric value
+        arts[3] = ["not", "a", "dict"]   # non-dict parsed
+        arts[4] = {"metric": "x"}        # no value at all
+        expect_round = 1
+    for n, parsed in arts.items():
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"rc": 0, "parsed": parsed})
+        )
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    best, name = bench._last_good_bench()
+    assert name == f"BENCH_r{expect_round:02d}.json"
+    assert isinstance(best.get("value"), (int, float)) and "error" not in best
