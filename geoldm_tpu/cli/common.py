@@ -40,7 +40,11 @@ def add_model_args(p: argparse.ArgumentParser, qm9_defaults: bool = True) -> Non
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel devices: shard the EGNN's O(N^2) "
                         "pair grid over atom rows (composes with --dp; "
-                        "pays off at GEOM-scale molecules)")
+                        "pays off at GEOM-scale molecules). Combining with "
+                        "a pallas compute dtype is validated in interpret "
+                        "mode and via real-chip Mosaic kernel tests "
+                        "(tests/test_pallas_tpu.py); run one train-step "
+                        "compile on your mesh before a long production run")
     p.add_argument("--condition_time", type=eval, default=True)
     p.add_argument("--clip_grad", type=eval, default=True)
     p.add_argument("--trace", type=str, default=None,

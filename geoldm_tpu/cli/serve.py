@@ -44,7 +44,7 @@ import time
 # (each value = one compiled sampler program); bounding requests to this
 # ladder bounds the whole compiled-program space a client can induce.
 _NSTEPS_LADDER = (1, 2, 3, 5, 8, 10, 15, 20, 25, 35, 50, 75, 100,
-                  150, 250, 375, 500, 750, 1000)
+                  150, 250, 375, 500, 750, 1000, 1500, 2000, 3000, 4000)
 
 
 def parse_args(argv=None):
@@ -359,9 +359,12 @@ class SamplerService:
             # distinct values. Ties snap down; the response echoes the
             # effective value. The server's own --n_steps default is
             # always allowed un-snapped.
+            # T itself is always a rung, so a dense-count request on a
+            # checkpoint whose T is off-ladder (e.g. T=1800) never snaps
+            # silently far below it.
             if n_steps != self.args.n_steps:
                 n_steps = min(
-                    (k for k in _NSTEPS_LADDER if k <= T),
+                    (k for k in (*_NSTEPS_LADDER, T) if k <= T),
                     key=lambda k: (abs(k - n_steps), k),
                 )
         eta = _num("eta", self.args.eta, float, 0.0, 1.0)

@@ -177,7 +177,15 @@ def _wl_graph_key(symbols, orders, charges, ranks) -> str:
         (min(ranks[i], ranks[j]), max(ranks[i], ranks[j]), int(orders[i][j]))
         for i, j in zip(ii.tolist(), jj.tolist())
     )
-    digest = hashlib.sha1(repr((atoms, edges)).encode()).hexdigest()[:20]
+    # 1-WL cannot separate some non-isomorphic regular graphs — exactly
+    # the pathologically symmetric inputs that exhaust the budget. Fold
+    # in the bond-order-weighted adjacency spectrum (permutation
+    # invariant; separates most WL-equivalent pairs; cospectral+WL-
+    # equivalent collisions remain possible but are far rarer).
+    spec = np.linalg.eigvalsh(np.asarray(orders, dtype=np.float64))
+    spectrum = tuple(np.round(np.sort(spec), 6).tolist())
+    digest = hashlib.sha1(
+        repr((atoms, edges, spectrum)).encode()).hexdigest()[:20]
     return f"*WL:{digest}*"
 
 

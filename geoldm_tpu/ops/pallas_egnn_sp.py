@@ -87,7 +87,19 @@ def sp_stage_tiles(s: int, n: int, hidden: int) -> tuple:
         for t in range(8, min(256, s) + 1, 8):
             if s % t == 0 and t * n <= budget_rows:
                 best = t
-        return best or min(8, s)
+        if best is None:
+            # No multiple-of-8 divisor tile fits the scoped-VMEM budget:
+            # fail loudly at trace time rather than inside the Mosaic
+            # stack allocator (the round-3 pad-64 scope-OOM class).
+            fallback = min(8, s)
+            if fallback * n > budget_rows:
+                raise ValueError(
+                    f"sp_stage_tiles: smallest tile ({fallback}x{n} pair "
+                    f"rows) exceeds the scoped-VMEM row budget "
+                    f"({budget_rows}); shrink the SP slab (raise sp), pad "
+                    f"N lower, or reduce hidden_nf={hidden}")
+            best = fallback
+        return best
 
     fwd = pick(LIBTPU_DEFAULT_SCOPED_VMEM_KIB * 1024 // (hidden * 4 * 4))
     bwd = pick(RAISED_SCOPED_VMEM_KIB * 1024 // (hidden * 4 * 16))

@@ -83,7 +83,16 @@ def scale_by_amsgrad_torch(
     all 5 seeds > 1, decaying to ~1.00 by step 250). The reference trains
     with AdamW(amsgrad=True) (qm9/models.py:169-175), so torch semantics
     are the parity-correct choice. State layout reuses
-    optax.ScaleByAmsgradState — checkpoint templates are unchanged."""
+    optax.ScaleByAmsgradState — checkpoint templates are unchanged.
+
+    Resume caveat: optimizer state saved by the pre-round-4 optax
+    variant loads structurally, but its ``nu_max`` holds the max of
+    bias-corrected nu-hat; this rule divides it by bc2 again, so a
+    resume from an EARLY-stage old checkpoint (bc2 far from 1)
+    transiently shrinks step sizes until fresh nu maxima take over.
+    Late-stage resumes (bc2 ~= 1, the practical case) are unaffected;
+    no version marker is kept because the two interpretations converge
+    with training and the discrepancy is self-healing."""
 
     def init_fn(params):
         zeros = lambda: jax.tree.map(jnp.zeros_like, params)  # noqa: E731
