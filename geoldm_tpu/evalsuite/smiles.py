@@ -183,7 +183,9 @@ def _wl_graph_key(symbols, orders, charges, ranks) -> str:
     # invariant; separates most WL-equivalent pairs; cospectral+WL-
     # equivalent collisions remain possible but are far rarer).
     spec = np.linalg.eigvalsh(np.asarray(orders, dtype=np.float64))
-    spectrum = tuple(np.round(np.sort(spec), 6).tolist())
+    # + 0.0 folds -0.0 into +0.0 (repr differs; the sign of a zero
+    # eigenvalue is permutation-dependent noise).
+    spectrum = tuple((np.round(np.sort(spec), 6) + 0.0).tolist())
     digest = hashlib.sha1(
         repr((atoms, edges, spectrum)).encode()).hexdigest()[:20]
     return f"*WL:{digest}*"

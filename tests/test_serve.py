@@ -143,6 +143,13 @@ def test_n_steps_validated_and_quantized(server):
                           {"sizes": [4], "n_steps": 2, "seed": 5})
     assert code == 200
     assert body["sampler"]["n_steps"] == 2
+    # T itself is always a rung even when off-ladder (T=6 here): a
+    # dense-count request must not silently snap below the checkpoint's
+    # own timestep count (round-4 advisor finding for T>1000 models)
+    code, body = _request(base, "/sample",
+                          {"sizes": [4], "n_steps": 6, "seed": 5})
+    assert code == 200
+    assert body["sampler"]["n_steps"] == 6
 
 
 def test_validation_errors(server):
