@@ -126,7 +126,17 @@ def _train_batch_at(info, b: int, n: int):
 
 
 def _train_device_ms(state, raw_step, opts, batch, n_steps: int = 30) -> float:
-    """Device ms/step: K steps scanned inside ONE jitted program."""
+    """Device ms/step: K steps scanned inside ONE jitted program.
+
+    Two axon-tunnel defenses, both load-bearing (measured 2026-08-19):
+    the warmup and timed calls use DIFFERENT keys — the tunnel memoizes
+    identical (executable, operands) executions, which made repeat calls
+    return in ~2 ms regardless of n_steps (GEOM pads 48-128 read 0.1-0.3
+    ms/step vs the real 12-24 ms) — and the timed region ends with a host
+    FETCH of a scan-internal scalar, because block_until_ready alone does
+    not reliably wait for completion on this platform. The scalar is
+    computed inside the scanned program, so the fetch adds one transfer
+    and no extra dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -136,14 +146,14 @@ def _train_device_ms(state, raw_step, opts, batch, n_steps: int = 30) -> float:
             st, m = raw_step(st, batch, jax.random.fold_in(key, i))
             return st, m["loss"]
 
-        return jax.lax.scan(body, state, jnp.arange(n_steps))
+        st, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return st, jnp.sum(losses)
 
-    key = jax.random.key(1)
-    state2, _ = multi_step(state, batch, key)
-    jax.block_until_ready(state2.params)
+    _, tot = multi_step(state, batch, jax.random.key(1))
+    float(tot)
     t0 = time.perf_counter()
-    state2, _ = multi_step(state, batch, key)
-    jax.block_until_ready(state2.params)
+    _, tot = multi_step(state, batch, jax.random.key(2))
+    float(tot)
     return 1000.0 * (time.perf_counter() - t0) / n_steps
 
 
@@ -168,11 +178,13 @@ def _bench_train(cfg, info, train_batch_size: int, pad: int, device_kind: str,
 
     # Host-loop throughput (what a user's training loop sees; includes
     # per-step dispatch, which the axon tunnel inflates in this env).
+    # Ends with a host FETCH: block_until_ready alone does not reliably
+    # wait for completion on the axon platform (see _train_device_ms).
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
+    float(metrics["loss"])
     host_ms = 1000.0 * (time.perf_counter() - t0) / n_steps
     print(f"# train host-loop: {host_ms:.1f} ms/step (incl. dispatch)", file=sys.stderr)
 

@@ -80,7 +80,20 @@ def sp_stage_tiles(s: int, n: int, hidden: int) -> tuple:
     fits the stage's VMEM budget. Forward budgets ~4 live f32 slab buffers
     against libtpu's default scoped limit; the backward's in-kernel vjp
     holds ~4x that and runs under the RAISED limit (same budgets as
-    _auto_tile/_auto_tile_bwd, constrained to divisors of S)."""
+    _auto_tile/_auto_tile_bwd, constrained to divisors of S).
+
+    S must be a multiple of 8 (egnn_apply_sp pads N to 8*sp before
+    splitting, so production slabs always are): the stage grid covers
+    S // tile tiles, and a non-divisor tile would leave the last
+    ``S % tile`` rows of every slab UNCOMPUTED — silent garbage on
+    hardware. Found on a real chip via NaN-fill in interpret mode when a
+    direct caller passed an unpadded s=92 slab (92 has no multiple-of-8
+    divisor, so the old fallback tile of 8 dropped rows 88-91)."""
+    if s % 8 != 0:
+        raise ValueError(
+            f"sp_stage_tiles: slab rows S={s} must be a multiple of 8 — "
+            "pad the row slab first (egnn_apply_sp pads N to 8*sp); a "
+            f"non-divisor tile would silently skip the last {s % 8} rows")
 
     def pick(budget_rows: int) -> int:
         best = None
@@ -88,10 +101,11 @@ def sp_stage_tiles(s: int, n: int, hidden: int) -> tuple:
             if s % t == 0 and t * n <= budget_rows:
                 best = t
         if best is None:
-            # No multiple-of-8 divisor tile fits the scoped-VMEM budget:
-            # fail loudly at trace time rather than inside the Mosaic
-            # stack allocator (the round-3 pad-64 scope-OOM class).
-            fallback = min(8, s)
+            # No LARGE multiple-of-8 divisor tile fits the scoped-VMEM
+            # budget; 8 always divides an 8-aligned S, so the floor tile
+            # is exact. Fail loudly at trace time if even that exceeds
+            # the budget (the round-3 pad-64 Mosaic scope-OOM class).
+            fallback = 8
             if fallback * n > budget_rows:
                 raise ValueError(
                     f"sp_stage_tiles: smallest tile ({fallback}x{n} pair "
@@ -188,6 +202,12 @@ def _sp_stage_fwd_impl(cfg, kind, n, tiles, compute_dtype, interpret,
                        mean_div, weights, full, rows, r0_base):
     t = tiles[0]
     b, s, _ = rows[0].shape
+    if s % t != 0:
+        raise ValueError(
+            f"sp_stage_apply: forward tile {t} does not divide the slab "
+            f"rows S={s}; the grid would skip the last {s % t} rows "
+            "(silent garbage on hardware). Use sp_stage_tiles on an "
+            "8-aligned slab.")
     hidden = full[0].shape[-1]
     keys, math_fn, out_feat = _stage_props(cfg, kind)
     wlist = [weights[k] for k in keys]
@@ -216,6 +236,12 @@ def _sp_stage_bwd_impl(cfg, kind, n, tiles, compute_dtype, interpret,
                        mean_div, weights, full, rows, r0_base, g):
     t = tiles[1]
     b, s, _ = rows[0].shape
+    if s % t != 0:
+        raise ValueError(
+            f"sp_stage_apply: backward tile {t} does not divide the slab "
+            f"rows S={s}; the grid would skip the last {s % t} rows "
+            "(silent garbage on hardware). Use sp_stage_tiles on an "
+            "8-aligned slab.")
     hidden = full[0].shape[-1]
     keys, math_fn, out_feat = _stage_props(cfg, kind)
     wlist = [weights[k] for k in keys]

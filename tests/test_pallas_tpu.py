@@ -61,10 +61,15 @@ def _cfg(hidden):
     )
 
 
-def _stage_inputs(kind, n, s, r0, hidden, seed=0):
+def _stage_inputs(kind, n, s, r0, hidden, seed=0, n_real=None):
     """Full [B,N,*] views + the [B,S,*] slab at global offset r0, plus the
     stage weight dict — the exact operands _block_rows_pallas would pass
-    on the SP device owning rows [r0, r0+s)."""
+    on the SP device owning rows [r0, r0+s).
+
+    ``n_real`` < n mirrors egnn_apply_sp's pad-to-8*sp: rows beyond it are
+    masked padding (the GEOM pad-184 recipe at sp=2 pads to N=192 and the
+    slab is S=96 — production slabs are always 8-aligned; sp_stage_tiles
+    rejects anything else since the silent-row-skip fix)."""
     cfg = _cfg(hidden)
     params = egnn_init(jax.random.key(seed), cfg)
     block = jax.tree.map(lambda a: a[0], params["blocks"])
@@ -74,10 +79,11 @@ def _stage_inputs(kind, n, s, r0, hidden, seed=0):
         weights = _coord_weight_dict(block)
 
     b = 2
+    n_real = n if n_real is None else n_real
     ks = jax.random.split(jax.random.key(seed + 1), 3)
     node_mask = np.zeros((b, n, 1), np.float32)
-    node_mask[0, : n - 3] = 1.0
-    node_mask[1, :] = 1.0
+    node_mask[0, : n_real - 3] = 1.0
+    node_mask[1, :n_real] = 1.0
     mask = jnp.asarray(node_mask)
     h = jax.random.normal(ks[0], (b, n, hidden)) * mask
     x = jax.random.normal(ks[1], (b, n, 3)) * mask
@@ -89,8 +95,10 @@ def _stage_inputs(kind, n, s, r0, hidden, seed=0):
     return cfg, weights, full, rows, r0_base
 
 
-def _run(kind, n, s, r0, hidden, interpret):
-    cfg, weights, full, rows, r0_base = _stage_inputs(kind, n, s, r0, hidden)
+def _run(kind, n, s, r0, hidden, interpret, n_real=None):
+    cfg, weights, full, rows, r0_base = _stage_inputs(
+        kind, n, s, r0, hidden, n_real=n_real
+    )
     tiles = sp_stage_tiles(s, n, hidden)
     fn = functools.partial(
         sp_stage_apply, cfg, kind, n, tiles, None, interpret, 0
@@ -99,15 +107,17 @@ def _run(kind, n, s, r0, hidden, interpret):
     return np.asarray(out), (cfg, tiles, weights, full, rows, r0_base)
 
 
-# QM9-ish (pad 32, hidden 64) and a GEOM bucket shape (pad 184, hidden
-# 128) — both with the slab at a NONZERO global offset, including the
-# final slab (whose diagonal window sits at the far end of the columns).
+# QM9-ish (pad 32, hidden 64) and the GEOM recipe shape under sp=2
+# (egnn_apply_sp pads 184 -> 192, slab S=96, real rows masked at 184) —
+# both with the slab at a NONZERO global offset, including the final slab
+# (whose diagonal window sits at the far end of the columns, and whose
+# tail rows are exactly the ones the pre-fix non-divisor tiling skipped).
 CASES = [
-    ("gcl", 32, 8, 8, 64),
-    ("gcl", 32, 8, 24, 64),
-    ("coord", 32, 8, 24, 64),
-    ("gcl", 184, 92, 92, 128),
-    ("coord", 184, 92, 92, 128),
+    ("gcl", 32, 8, 8, 64, None),
+    ("gcl", 32, 8, 24, 64, None),
+    ("coord", 32, 8, 24, 64, None),
+    ("gcl", 192, 96, 96, 128, 184),
+    ("coord", 192, 96, 96, 128, 184),
 ]
 
 
@@ -132,16 +142,20 @@ def _assert_lowering_match(got, want, rel_l2=3e-3, atol=2e-2, rtol=2e-2):
     np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
 
 
-@pytest.mark.parametrize("kind,n,s,r0,hidden", CASES)
-def test_sp_stage_mosaic_forward_matches_interpret(kind, n, s, r0, hidden):
-    got, _ = _run(kind, n, s, r0, hidden, interpret=False)
-    want, _ = _run(kind, n, s, r0, hidden, interpret=True)
+@pytest.mark.parametrize("kind,n,s,r0,hidden,n_real", CASES)
+def test_sp_stage_mosaic_forward_matches_interpret(kind, n, s, r0, hidden,
+                                                   n_real):
+    got, _ = _run(kind, n, s, r0, hidden, interpret=False, n_real=n_real)
+    want, _ = _run(kind, n, s, r0, hidden, interpret=True, n_real=n_real)
     _assert_lowering_match(got, want)
 
 
-@pytest.mark.parametrize("kind,n,s,r0,hidden", CASES[:3] + CASES[3:4])
-def test_sp_stage_mosaic_backward_matches_interpret(kind, n, s, r0, hidden):
-    cfg, weights, full, rows, r0_base = _stage_inputs(kind, n, s, r0, hidden)
+@pytest.mark.parametrize("kind,n,s,r0,hidden,n_real", CASES[:3] + CASES[3:4])
+def test_sp_stage_mosaic_backward_matches_interpret(kind, n, s, r0, hidden,
+                                                    n_real):
+    cfg, weights, full, rows, r0_base = _stage_inputs(
+        kind, n, s, r0, hidden, n_real=n_real
+    )
     tiles = sp_stage_tiles(s, n, hidden)
 
     def loss(interpret, weights, full, rows):

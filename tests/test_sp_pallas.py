@@ -216,3 +216,45 @@ def test_sp_pallas_train_step_matches_single_device():
         lambda a, b: float(jnp.abs(a - b).max()), s_sp.params, s_ref.params
     )
     assert max(jax.tree.leaves(err)) < 1e-5
+
+
+def test_sp_stage_tiles_rejects_unaligned_slab():
+    """Regression for the silent-row-skip bug found on hardware: a slab
+    whose row count has no multiple-of-8 divisor (92 = 4*23) used to get
+    a non-divisor fallback tile of 8, and the (b, s // t) grid then never
+    computed the last s % t rows — garbage on a real chip, NaN-fill in
+    interpret mode. Non-8-aligned slabs must be rejected at trace time
+    (egnn_apply_sp always pads to 8*sp, so production never hits this)."""
+    from geoldm_tpu.ops.pallas_egnn_sp import sp_stage_tiles
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        sp_stage_tiles(92, 184, 128)
+    # 8-aligned slabs always tile exactly (8 divides them), including ones
+    # with no larger multiple-of-8 divisor (88 = 8 * 11).
+    for s in (96, 88, 8):
+        fwd, bwd = sp_stage_tiles(s, 192, 128)
+        assert s % fwd == 0 and s % bwd == 0
+
+
+def test_sp_stage_apply_rejects_non_divisor_tile():
+    from geoldm_tpu.ops.pallas_egnn_sp import sp_stage_apply
+    from geoldm_tpu.ops.pallas_egnn_tiled import _gcl_weight_dict
+
+    cfg = EGNNConfig(
+        in_node_nf=4, out_node_nf=4, hidden_nf=16, n_layers=1,
+        inv_sublayers=1, attention=False, tanh=True, coords_range=15.0,
+        norm_constant=1.0, sin_embedding=False, normalization_factor=100.0,
+        aggregation_method="sum",
+    )
+    params = egnn_init(jax.random.key(0), cfg)
+    block = jax.tree.map(lambda a: a[0], params["blocks"])
+    weights, _ = _gcl_weight_dict(cfg, block["gcls"][0])
+    b, n, s, r0 = 1, 24, 12, 0
+    mask = jnp.ones((b, n, 1), jnp.float32)
+    h = jnp.zeros((b, n, 16))
+    x = jnp.zeros((b, n, 3))
+    full = (h, x, x, mask)
+    rows = tuple(a[:, r0:r0 + s] for a in full)
+    with pytest.raises(ValueError, match="does not divide"):
+        sp_stage_apply(cfg, "gcl", n, (8, 8), None, True, 0,
+                       weights, full, rows, jnp.asarray([r0], jnp.int32))
