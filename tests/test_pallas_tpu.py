@@ -121,7 +121,8 @@ CASES = [
 ]
 
 
-def _assert_lowering_match(got, want, rel_l2=3e-3, atol=2e-2, rtol=2e-2):
+def _assert_lowering_match(got, want, rel_l2=3e-3, atol=2e-2, rtol=2e-2,
+                           l2_atol=2e-5):
     """Mosaic-vs-interpret comparison at the honest numeric bar.
 
     Mosaic lowers f32 ``dot_general`` at DEFAULT precision as one-pass
@@ -133,12 +134,19 @@ def _assert_lowering_match(got, want, rel_l2=3e-3, atol=2e-2, rtol=2e-2):
     SMEM global-offset, scope-OOM, gradient slab misplacement — produces
     O(1) errors or hard compile failures, so a bf16-scale relative-L2
     bound plus a coarse elementwise check keeps full detection power.
+
+    The L2 bound is mixed (``rel_l2 * ||want|| + l2_atol``): a gradient
+    leaf whose true value nearly cancels (e.g. the xavier-0.001-scaled
+    coord-MLP last layer; measured ||g|| = 1.7e-4 with ||diff|| = 1e-6 on
+    a real v5e) would otherwise fail on bf16 rounding of O(1) summands —
+    a pure-relative bar is meaningless when the denominator is itself a
+    cancellation residue. l2_atol = 2e-5 sits 4+ orders below any O(1)
+    indexing-bug signature.
     """
     got = np.asarray(got, np.float64)
     want = np.asarray(want, np.float64)
     denom = np.linalg.norm(want)
-    if denom > 0:
-        assert np.linalg.norm(got - want) / denom < rel_l2
+    assert np.linalg.norm(got - want) < rel_l2 * denom + l2_atol
     np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
 
 
